@@ -1,0 +1,63 @@
+"""URL-seen dedup — the join of this engine.
+
+Reference semantics (engine.py:99-106): at *enqueue* time, unless
+``dont_filter``, drop the URL if seen, else insert into seen and
+enqueue. Insert-at-enqueue means duplicates discovered within the same
+round must also be suppressed, first occurrence (by FIFO enqueue order)
+winning — `dropDuplicates` alone would pick an arbitrary survivor, so
+the intra-round step is an explicit first-wins window over the order
+key ``(parent_seq, child_index)``.
+
+Scale path: a driver-held bloom filter over canonical-URL xxhash64
+pre-filters candidates before the exact anti-join — definitely-unseen
+rows skip the join entirely; only "maybe seen" rows (true dupes +
+~fp-rate) shuffle against the seen table. The filter is incrementally
+maintained and serialized with each checkpoint (see plans/bloom.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from silkworm_spark.plans.bloom import BloomFilter, bloom_partition_col
+
+
+def first_wins_intra_round(candidates: DataFrame) -> DataFrame:
+    """Keep the first occurrence of each URL within the round, by
+    FIFO enqueue order (reference gets this free from enqueue-time
+    insert into the in-memory set)."""
+    w = Window.partitionBy("url_hash", "url").orderBy("parent_seq", "child_index")
+    return (
+        candidates.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def dedup_candidates(
+    candidates: DataFrame,
+    seen: DataFrame,
+    bloom: BloomFilter | None = None,
+) -> DataFrame:
+    """Candidates (with url, url_hash, dont_filter, parent_seq,
+    child_index) → rows to actually enqueue.
+
+    ``dont_filter`` rows bypass both the check and the seen insert
+    (engine.py:99-106; retries rely on this — middlewares.py:137-139,
+    verified end-to-end by reference tests test_silkworm_core.py:450-487).
+    """
+    bypass = candidates.filter(F.col("dont_filter"))
+    checked = first_wins_intra_round(candidates.filter(~F.col("dont_filter")))
+
+    if bloom is not None and not bloom.is_empty:
+        maybe = checked.filter(bloom_partition_col(bloom, "url_hash"))
+        definitely_new = checked.filter(~bloom_partition_col(bloom, "url_hash"))
+        fresh = maybe.join(
+            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        ).unionByName(definitely_new)
+    else:
+        fresh = checked.join(
+            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        )
+    return fresh.unionByName(bypass)

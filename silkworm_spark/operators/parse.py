@@ -1,0 +1,182 @@
+"""The parse stage: spider callbacks as a vectorized pandas-UDF registry.
+
+The reference dispatches a function pointer per request
+(``resp.request.callback or spider.parse``, engine.py:183-190) and
+normalizes the yielded mix of items and Requests (engine.py:200-268).
+Function pointers can't live in DataFrame rows, so the rebuild makes
+the callback a *name column* dispatched through ``CALLBACKS``; every
+callback consumes decoded responses and emits rows of
+``PARSE_OUT_SCHEMA`` — 'item' rows carry the interleaved span array,
+'request' rows carry one child URL each (the explode pattern standing
+in for the reference's yielded Requests).
+
+The whole stage runs as one ``mapInPandas`` pass (Arrow batches, no
+per-row Python UDFs); errors are contained per row into the ``error``
+column, mirroring worker-survives-error (engine.py:138-152).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from silkworm_spark.functions.text import decode_body, is_html
+from silkworm_spark.functions.urls import url_join
+from silkworm_spark.schemas import PARSE_OUT_SCHEMA
+
+Span = dict  # {kind, text, media_ref, offset}
+
+_WS = re.compile(r"\s+")
+
+
+class _SpanExtractor(HTMLParser):
+    """Emit (kind, text, media_ref) spans in document order:
+    <p> → text, <a href> → link (anchor text + absolute target),
+    <img src> → image, <video src> → video. Head/script/style skipped."""
+
+    _SKIP = {"head", "script", "style", "title"}
+
+    def __init__(self, base_url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.base_url = base_url
+        self.spans: list[Span] = []
+        self._skip_depth = 0
+        self._mode: str | None = None  # 'p' | 'a'
+        self._buf: list[str] = []
+        self._href: str | None = None
+
+    def _flush(self) -> None:
+        if self._mode == "p":
+            text = _WS.sub(" ", "".join(self._buf)).strip()
+            if text:
+                self.spans.append(dict(kind="text", text=text, media_ref=None))
+        elif self._mode == "a":
+            text = _WS.sub(" ", "".join(self._buf)).strip()
+            ref = url_join(self.base_url, self._href) if self._href else None
+            self.spans.append(dict(kind="link", text=text or None, media_ref=ref))
+        self._mode, self._buf, self._href = None, [], None
+
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        if tag in self._SKIP:
+            self._skip_depth += 1
+            return
+        if self._skip_depth:
+            return
+        a = dict(attrs)
+        if tag == "p":
+            self._flush()
+            self._mode = "p"
+        elif tag == "a":
+            self._flush()
+            self._mode = "a"
+            self._href = a.get("href")
+        elif tag == "img" and a.get("src"):
+            self._flush()
+            self.spans.append(dict(
+                kind="image", text=None,
+                media_ref=url_join(self.base_url, a["src"]),
+            ))
+        elif tag == "video" and a.get("src"):
+            self._flush()
+            self.spans.append(dict(
+                kind="video", text=None,
+                media_ref=url_join(self.base_url, a["src"]),
+            ))
+
+    def handle_startendtag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in self._SKIP:
+            self._skip_depth = max(0, self._skip_depth - 1)
+            return
+        if tag in ("p", "a"):
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth == 0 and self._mode is not None:
+            self._buf.append(data)
+
+
+def extract_spans(html_text: str, base_url: str) -> list[Span]:
+    p = _SpanExtractor(base_url)
+    p.feed(html_text)
+    p.close()
+    p._flush()
+    spans = p.spans
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    return spans
+
+
+def parse_default(row: dict) -> Iterator[dict]:
+    """Built-in ``parse`` callback: on a 200 HTML response emit the
+    document item (span array) plus one child request per link span,
+    in document order (yield order — reference engine.py:200-210)."""
+    if row["status"] != 200 or not is_html(row["body"], row["content_type"]):
+        return
+    text, _enc = decode_body(row["body"], row["content_type"])
+    spans = extract_spans(text, row["final_url"] or row["url"])
+    yield dict(out_kind="item", spans=spans, child_url=None, child_index=None)
+    k = 0
+    for s in spans:
+        if s["kind"] == "link" and s["media_ref"]:
+            yield dict(out_kind="request", spans=None, child_url=s["media_ref"], child_index=k)
+            k += 1
+
+
+_LOC_RE = re.compile(r"<loc>\s*([^<\s]+)\s*</loc>")
+
+
+def parse_sitemap(row: dict) -> Iterator[dict]:
+    """Sitemap XML → child requests per <loc>, recursing into
+    sub-sitemaps (reference examples/sitemap_spider.py:120-214)."""
+    if row["status"] != 200:
+        return
+    text, _enc = decode_body(row["body"], row["content_type"])
+    for k, m in enumerate(_LOC_RE.finditer(text)):
+        yield dict(out_kind="request", spans=None, child_url=m.group(1), child_index=k)
+
+
+def parse_noop(row: dict) -> Iterator[dict]:
+    """SkipNonHTMLMiddleware's no-op swap (middlewares.py:325)."""
+    return iter(())
+
+
+CALLBACKS: dict[str, Callable[[dict], Iterator[dict]]] = {
+    "parse": parse_default,
+    "parse_sitemap": parse_sitemap,
+    "noop": parse_noop,
+}
+
+
+def run_parse_stage(fetched: DataFrame) -> DataFrame:
+    """fetched (frontier cols + fetch-result cols) → PARSE_OUT rows.
+
+    One mapInPandas over the salted fetch partitions; callback errors
+    land in the ``error`` column instead of failing the stage."""
+
+    cols = ["url", "final_url", "status", "content_type", "body", "callback"]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for row in pdf[cols].to_dict("records"):
+                cb = CALLBACKS.get(row["callback"] or "parse", parse_default)
+                try:
+                    for o in cb(row):
+                        out.append(dict(url=row["url"], error=None, **o))
+                except Exception as exc:  # contain per row (engine.py:138-152)
+                    out.append(dict(
+                        url=row["url"], out_kind="error", spans=None,
+                        child_url=None, child_index=None,
+                        error=f"{type(exc).__name__}: {exc}",
+                    ))
+            yield pd.DataFrame(out, columns=[f.name for f in PARSE_OUT_SCHEMA.fields])
+
+    return fetched.mapInPandas(gen, schema=PARSE_OUT_SCHEMA)

@@ -1,0 +1,405 @@
+"""CrawlEngine: the reference's event loop as an iterative DataFrame job.
+
+One reference worker iteration (engine.py:108-154: dequeue → request
+middlewares → fetch → response middlewares → callback → enqueue/sink)
+becomes one *round* over the whole dequeued batch:
+
+    frontier_R ──dequeue (politeness+robots+priority, salted)──►
+      batch ──offline/live fetch (redirect loop inside)──►
+        fetched ──retry split──► retries ──► candidates
+                └─parse mapInPandas──► items ──► documents
+                                   └─► child requests ──► candidates
+      candidates ──first-wins + bloom + anti-join dedup──►
+        dense-seq assign ──► frontier_{R+1};  seen += enqueued
+      commit(frontier, seen, documents, metrics, fetch_log, bloom)
+
+``while queue not empty`` (engine.py:354) is the driver's round loop;
+``seq`` is FIFO dequeue order as data (SURVEY.md §3.4), so the crawl
+reproduces the reference's concurrency=1 ordering exactly while
+executing wide.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from time import perf_counter
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silkworm_spark.functions.urls import canonicalize_udf, host_udf, url_hash_col
+from silkworm_spark.operators.dedup import dedup_candidates
+from silkworm_spark.operators.fetch import live_fetch, offline_fetch
+from silkworm_spark.operators.order import assign_dense_seq
+from silkworm_spark.operators.parse import run_parse_stage
+from silkworm_spark.operators.retry import split_retries
+from silkworm_spark.operators.scheduler import dequeue_round
+from silkworm_spark.plans.checkpoint import CrawlCheckpoint
+from silkworm_spark.schemas import HOST_STATE_SCHEMA, ROBOTS_SCHEMA
+
+_FRONTIER_COLS = [
+    "url", "url_hash", "host", "depth", "parent_seq", "child_index", "seq",
+    "callback", "priority", "dont_filter", "retry_times", "not_before",
+    "round_added",
+]
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 50
+    round_budget: int = 1_000_000
+    per_host_cap: int = (1 << 31) - 1
+    round_seconds: float = 1.0
+    max_retries: int = 3  # reference middlewares.py:102
+    backoff_base: float = 0.5  # reference middlewares.py:104
+    max_redirects: int = 10  # reference http.py:31
+    use_bloom: bool = True
+    bloom_bits: int = 1 << 23
+    bloom_k: int = 7
+    num_partitions: int | None = None
+    target_rows_per_partition: int = 1000
+    max_depth: int | None = None
+
+
+@dataclass
+class CrawlStats:
+    rounds: int = 0
+    requests_sent: int = 0
+    responses_received: int = 0
+    items_scraped: int = 0
+    errors: int = 0
+    retries: int = 0
+    robots_denied: int = 0
+    elapsed_s: float = 0.0
+    per_round: list = field(default_factory=list)
+
+    @property
+    def requests_per_second(self) -> float:  # reference engine.py:305,313
+        return self.requests_sent / self.elapsed_s if self.elapsed_s else 0.0
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        config: CrawlConfig | None = None,
+        fetch_mode: str = "offline",
+        web: DataFrame | None = None,
+    ) -> None:
+        self.spark = spark
+        self.config = config or CrawlConfig()
+        self.ckpt = CrawlCheckpoint(spark, checkpoint_dir)
+        self.fetch_mode = fetch_mode
+        self.web = web
+        if fetch_mode == "offline" and web is None:
+            raise ValueError("offline fetch mode requires a web fixture DataFrame")
+        self.stats = CrawlStats()
+
+    # ---- seeding (reference open_spider, engine.py:79-86) ----
+    def initialize(self, seeds: DataFrame, robots: DataFrame | None = None) -> None:
+        cfg = self.config
+        bloom = self.ckpt.load_bloom(cfg.bloom_bits, cfg.bloom_k)
+        s = (
+            seeds.withColumn("url", canonicalize_udf("url"))
+            .withColumn("url_hash", url_hash_col("url"))
+            .withColumn("host", host_udf("url"))
+        )
+        # seeds pass through _enqueue too: first occurrence wins (engine.py:99-106)
+        s = s.withColumn("parent_seq", F.lit(-1).cast("long")).withColumn(
+            "child_index", F.col("seq").cast("int")
+        )
+        from silkworm_spark.operators.dedup import first_wins_intra_round
+
+        s = first_wins_intra_round(s)
+        frontier = s.select(
+            "url", "url_hash", "host",
+            F.lit(0).alias("depth"),
+            "parent_seq", "child_index",
+            F.col("seq").cast("long").alias("seq"),
+            F.lit("parse").alias("callback"),
+            F.col("priority").cast("int").alias("priority"),
+            F.lit(False).alias("dont_filter"),
+            F.lit(0).alias("retry_times"),
+            F.lit(0.0).alias("not_before"),
+            F.lit(0).alias("round_added"),
+        )
+        assigned, n = assign_dense_seq(
+            frontier.drop("seq"), ["parent_seq", "child_index"], start=0
+        )
+        frontier = assigned.select(*_FRONTIER_COLS).cache()
+        seen = frontier.filter(~F.col("dont_filter")).select(
+            "url_hash", "url", F.lit(0).alias("round_added")
+        )
+        bloom.add_many(
+            [r["url_hash"] for r in seen.select("url_hash").collect()]
+        )
+        if robots is None:
+            robots = self.spark.createDataFrame([], ROBOTS_SCHEMA)
+        robots.write.mode("overwrite").parquet(f"{self.ckpt.root}/robots")
+        self.ckpt.commit(
+            round_no=0, vtime=0.0, seq_next=n,
+            appends={"seen": seen},
+            snapshots={
+                "frontier": frontier,
+                "host_state": self.spark.createDataFrame([], HOST_STATE_SCHEMA),
+            },
+            bloom=bloom,
+        )
+        frontier.unpersist()
+
+    def _robots(self) -> DataFrame:
+        return self.spark.read.schema(ROBOTS_SCHEMA).parquet(f"{self.ckpt.root}/robots")
+
+    # ---- the round loop (reference engine.py:339-368) ----
+    def run(self) -> CrawlStats:
+        cfg = self.config
+        t0 = perf_counter()
+        robots = self._robots().cache()
+        bloom = self.ckpt.load_bloom(cfg.bloom_bits, cfg.bloom_k)
+        vtime = float(self.ckpt.manifest["vtime"])
+        seq_next = int(self.ckpt.manifest["seq_next"])
+        round_no = int(self.ckpt.manifest["round"])
+
+        n_frontier: int | None = None  # tracked incrementally after round 1
+        # max_rounds bounds the *crawl*, not this run() call — a resumed
+        # crawl continues to the same global bound (exact-resume contract)
+        while round_no < cfg.max_rounds:
+            frontier = self.ckpt.read("frontier").cache()
+            if n_frontier is None:
+                n_frontier = frontier.count()
+            if n_frontier == 0:
+                frontier.unpersist()
+                break  # queue.join() returned (engine.py:354)
+            host_state = self.ckpt.read("host_state")
+
+            dq = dequeue_round(
+                frontier, robots, host_state, vtime,
+                round_seconds=cfg.round_seconds,
+                round_budget=cfg.round_budget,
+                per_host_cap=cfg.per_host_cap,
+                num_partitions=cfg.num_partitions,
+                target_rows_per_partition=cfg.target_rows_per_partition,
+            )
+            batch = dq.batch.cache()
+            denied = dq.denied.cache()
+            n_batch = batch.count()
+            n_denied = denied.count()
+
+            if n_batch == 0 and n_denied == 0:
+                # nothing eligible: jump the virtual clock forward
+                nb = frontier.agg(F.min("not_before")).first()[0]
+                nf = (
+                    host_state.join(frontier.select("host").distinct(), "host")
+                    .agg(F.min("next_free")).first()[0]
+                )
+                candidates_t = [t for t in (nb, nf) if t is not None and t > vtime]
+                frontier.unpersist(); batch.unpersist(); denied.unpersist()
+                if not candidates_t:
+                    break  # nothing can ever become eligible
+                vtime = min(candidates_t)
+                continue
+
+            round_no += 1
+            rt0 = perf_counter()
+
+            raw_fetched = (
+                offline_fetch(batch, self.web, cfg.max_redirects)  # cached inside
+                if self.fetch_mode == "offline"
+                else live_fetch(batch).cache()
+            )
+            # repartition on the salted key so parse inherits the
+            # skew-balanced layout (the fetch join shuffled it away)
+            fetched = raw_fetched.repartition(
+                cfg.num_partitions or self.spark.sparkContext.defaultParallelism,
+                "part",
+            ).cache()
+
+            ok, retry_rows, gave_up = split_retries(
+                fetched, vtime, cfg.max_retries, cfg.backoff_base
+            )
+            parse_out = run_parse_stage(
+                ok.filter(F.col("error").isNull() & F.col("status").isNotNull())
+            ).cache()
+
+            items = parse_out.filter(F.col("out_kind") == "item")
+            parse_errors = parse_out.filter(F.col("out_kind") == "error")
+            child_reqs = parse_out.filter(F.col("out_kind") == "request")
+
+            parent = fetched.select(
+                F.col("url").alias("p_url"), F.col("final_url").alias("p_final"),
+                F.col("status").alias("p_status"), F.col("depth").alias("p_depth"),
+                F.col("seq").alias("p_seq"), F.col("callback").alias("p_callback"),
+            )
+            documents = (
+                items.join(parent, items.url == parent.p_url)
+                .select(
+                    canonicalize_udf(F.coalesce("p_final", "p_url")).alias("doc_id"),
+                    "spans",
+                    F.col("p_status").alias("status"),
+                    F.col("p_depth").alias("depth"),
+                    F.col("p_seq").alias("seq"),
+                    F.lit(round_no).alias("round"),
+                )
+            )
+
+            children = (
+                child_reqs.join(parent, child_reqs.url == parent.p_url)
+                .select(
+                    canonicalize_udf("child_url").alias("url"),
+                    (F.col("p_depth") + 1).alias("depth"),
+                    F.col("p_seq").alias("parent_seq"),
+                    (F.col("child_index") + 1).alias("child_index"),
+                    F.coalesce(F.col("p_callback"), F.lit("parse")).alias("callback"),
+                )
+                .withColumn("url_hash", url_hash_col("url"))
+                .withColumn("host", host_udf("url"))
+                .withColumn("seq", F.lit(-1).cast("long"))
+                .withColumn("priority", F.lit(0))
+                .withColumn("dont_filter", F.lit(False))
+                .withColumn("retry_times", F.lit(0))
+                .withColumn("not_before", F.lit(0.0))
+                .withColumn("round_added", F.lit(round_no))
+                .select(*_FRONTIER_COLS)
+            )
+            if cfg.max_depth is not None:
+                children = children.filter(F.col("depth") <= cfg.max_depth)
+            # retries sort before children of later parents: child_index 0 vs 1+
+            candidates = children.unionByName(
+                retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
+            )
+
+            seen = self.ckpt.read("seen")
+            fresh = dedup_candidates(
+                candidates, seen, bloom if cfg.use_bloom else None
+            )
+            assigned, n_new = assign_dense_seq(
+                fresh.drop("seq"), ["parent_seq", "child_index"], start=seq_next
+            )
+            new_rows = assigned.select(*_FRONTIER_COLS).cache()
+            seq_next += n_new
+
+            seen_new = new_rows.filter(~F.col("dont_filter")).select(
+                "url_hash", "url", F.lit(round_no).alias("round_added")
+            )
+            if cfg.use_bloom:
+                bloom.add_many(
+                    [r["url_hash"] for r in seen_new.select("url_hash").collect()]
+                )
+
+            new_frontier = (
+                frontier.join(batch.select("seq"), "seq", "left_anti")
+                .join(denied.select("seq"), "seq", "left_anti")
+                .select(*_FRONTIER_COLS)
+                .unionByName(new_rows)
+            )
+
+            # ---- metrics: per-partition lineage (north rule) ----
+            # one collected agg supplies both the per-partition rows and
+            # the round totals (instead of 4 separate count jobs)
+            from silkworm_spark.operators.retry import RETRY_HTTP_CODES
+
+            part_rows = (
+                fetched.groupBy(F.col("part").alias("partition_id"))
+                .agg(
+                    F.count("*").alias("requests_sent"),
+                    F.count("status").alias("responses_received"),
+                    F.count("error").alias("errors"),
+                    F.sum(
+                        F.when(
+                            F.col("status").isin(RETRY_HTTP_CODES)
+                            & (F.col("retry_times") < cfg.max_retries),
+                            1,
+                        ).otherwise(0)
+                    ).alias("retries"),
+                )
+                .collect()
+            )
+            parse_counts = {
+                r["out_kind"]: r["cnt"]
+                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
+            }
+            n_resp = sum(r["responses_received"] for r in part_rows)
+            n_retries = sum(r["retries"] for r in part_rows)
+            n_items = parse_counts.get("item", 0)
+            n_err = sum(r["errors"] for r in part_rows) + parse_counts.get("error", 0)
+            elapsed_ms = (perf_counter() - rt0) * 1000.0
+            metric_tuples = [
+                (round_no, int(r["partition_id"]), r["requests_sent"],
+                 r["responses_received"], 0, r["errors"], r["retries"], 0, 0.0)
+                for r in part_rows
+            ] + [
+                (round_no, -1, n_batch, n_resp, n_items, n_err,
+                 n_retries, n_denied, elapsed_ms)
+            ]
+            from silkworm_spark.plans.checkpoint import TABLE_SCHEMAS
+
+            part_metrics = self.spark.createDataFrame(
+                metric_tuples, TABLE_SCHEMAS["metrics"]
+            )
+            fetch_log = batch.select(
+                F.lit(round_no).alias("round"), "seq", "url", "host"
+            )
+
+            self.ckpt.commit(
+                round_no=round_no,
+                vtime=vtime + cfg.round_seconds,
+                seq_next=seq_next,
+                appends={
+                    "seen": seen_new,
+                    "documents": documents,
+                    "metrics": part_metrics,
+                    "fetch_log": fetch_log,
+                },
+                snapshots={"frontier": new_frontier, "host_state": dq.new_host_state},
+                bloom=bloom if cfg.use_bloom else None,
+            )
+            vtime += cfg.round_seconds
+
+            self.stats.rounds += 1
+            self.stats.requests_sent += n_batch
+            self.stats.responses_received += n_resp
+            self.stats.items_scraped += n_items
+            self.stats.errors += n_err
+            self.stats.retries += n_retries
+            self.stats.robots_denied += n_denied
+            self.stats.per_round.append(
+                dict(round=round_no, batch=n_batch, new=n_new, elapsed_ms=elapsed_ms)
+            )
+            n_frontier = n_frontier - n_batch - n_denied + n_new
+
+            for df in (frontier, batch, denied, raw_fetched, fetched, parse_out, new_rows):
+                df.unpersist()
+
+        robots.unpersist()
+        self.stats.elapsed_s = perf_counter() - t0
+        return self.stats
+
+    # ---- convenience accessors ----
+    def documents(self) -> DataFrame:
+        return self.ckpt.read("documents")
+
+    def fetch_log(self) -> DataFrame:
+        return self.ckpt.read("fetch_log")
+
+    def seen(self) -> DataFrame:
+        return self.ckpt.read("seen")
+
+    def metrics(self) -> DataFrame:
+        return self.ckpt.read("metrics")
+
+
+def run_crawl(
+    spark: SparkSession,
+    web: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame | None,
+    checkpoint_dir: str,
+    config: CrawlConfig | None = None,
+    resume: bool = False,
+) -> CrawlEngine:
+    engine = CrawlEngine(spark, checkpoint_dir, config, fetch_mode="offline", web=web)
+    if not resume:
+        engine.initialize(seeds, robots)
+    engine.run()
+    return engine

@@ -1,0 +1,152 @@
+"""Declared StructType schemas for every engine table.
+
+The reference is schema-dynamic (free-form JSON items, dataclass
+Request/Response — reference request.py:13-31, response.py:99-118,
+_types.py:5-6); the rebuild inverts that: fixed schemas, because Arrow
+UDF signatures and checkpointed tables require them (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+# One span of an interleaved text+media document (BASELINE.json input_hint).
+SPAN_TYPE = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 'text' | 'image' | 'video' | 'link'
+        T.StructField("text", T.StringType()),  # NULL for pure-media spans
+        T.StructField("media_ref", T.StringType()),  # NULL for pure-text spans
+        T.StructField("offset", T.IntegerType()),  # dense 0..n-1 per doc
+    ]
+)
+
+# The north-rule corpus table: output of the crawl, input of the oracle.
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),  # canonical URL
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("seq", T.LongType()),  # dequeue order of the fetch
+        T.StructField("round", T.IntegerType()),
+    ]
+)
+
+# One row of the frontier = one reference Request (reference request.py:13-31).
+# callback (a function pointer in the reference) is a *name column* dispatched
+# through the parse registry; the FIFO dequeue position is the data column
+# `seq` (execution order is never an execution property here — SURVEY.md §3.4).
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("parent_seq", T.LongType(), False),  # -1 for seeds
+        T.StructField("child_index", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # global FIFO enqueue order
+        T.StructField("callback", T.StringType(), False),  # parse registry key
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("dont_filter", T.BooleanType(), False),
+        T.StructField("retry_times", T.IntegerType(), False),
+        T.StructField("not_before", T.DoubleType(), False),  # virtual seconds
+        T.StructField("round_added", T.IntegerType(), False),
+    ]
+)
+
+# Authoritative URL-seen set (reference engine.py:60,99-106: exact,
+# keyed on URL string only; insert at ENQUEUE time).
+SEEN_SCHEMA = T.StructType(
+    [
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+        T.StructField("round_added", T.IntegerType(), False),
+    ]
+)
+
+# Per-round fetch results (reference Response, response.py:99-118, plus
+# fetch-loop outputs final_url/redirect_times/error from http.py:67-203).
+FETCH_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("final_url", T.StringType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("redirect_times", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+# Synthetic offline web fixture (FIXTURES.md §2) — the deterministic
+# stand-in for live HTTP in tests and benchmarks.
+WEB_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), False),
+        T.StructField("status", T.IntegerType(), False),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("redirect_to", T.StringType()),
+        T.StructField("body", T.BinaryType()),
+        T.StructField("out_links", T.ArrayType(T.StringType())),
+        T.StructField("spans_expected", T.ArrayType(SPAN_TYPE)),
+        T.StructField("attempts_until_ok", T.IntegerType(), False),
+    ]
+)
+
+SEEDS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+    ]
+)
+
+# Per-host politeness & budget rules (north-rule addition; no reference
+# equivalent — closest is the global DelayMiddleware, middlewares.py:164-263).
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+        T.StructField("crawl_delay_ms", T.LongType()),
+        T.StructField("fetch_budget", T.IntegerType()),
+    ]
+)
+
+# Mirrors the reference stats dict (engine.py:72-77,304-316) with
+# per-partition lineage required by the north rule.
+METRICS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("requests_sent", T.LongType(), False),
+        T.StructField("responses_received", T.LongType(), False),
+        T.StructField("items_scraped", T.LongType(), False),
+        T.StructField("errors", T.LongType(), False),
+        T.StructField("retries", T.LongType(), False),
+        T.StructField("robots_denied", T.LongType(), False),
+        T.StructField("elapsed_ms", T.DoubleType(), False),
+    ]
+)
+
+# Per-host crawl state: robots fetch-budget consumed + politeness clock.
+HOST_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("fetched", T.LongType(), False),
+        T.StructField("next_free", T.DoubleType(), False),  # virtual seconds
+    ]
+)
+
+# Parse output row before splitting into items vs new requests
+# (reference engine.py:200-210 isinstance routing).
+PARSE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("out_kind", T.StringType(), False),  # 'item' | 'request'
+        T.StructField("spans", T.ArrayType(SPAN_TYPE)),
+        T.StructField("child_url", T.StringType()),
+        T.StructField("child_index", T.IntegerType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
