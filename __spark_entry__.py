@@ -1,38 +1,640 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship crawl (the silkworm rebuild's core
+capability) over a synthetic web derived from the sf0.001 documents
+table. ``queries()``/``oracle_sql()`` cover the SQL-expressible
+operator inventory of SURVEY.md §2 (dedup anti-join, first-wins
+windows, priority dequeue, retry/backoff, politeness budgets, salting,
+union-dedup) plus the training-data pipeline operators (exact /
+n-gram-Jaccard / MinHash-LSH / SimHash / embedding dedup, ANN,
+text analysis, multimodal plumbing) and join/agg plumbing checks.
+
+Every hash in the corpus operators derives from md5 so the DuckDB
+oracle recomputes identical values (xxhash64 exists only in Spark).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from silkworm_spark.operators.dedup_corpus import (  # noqa: E402
+    MINHASH_P,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_params,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from silkworm_spark.operators.multimodal import attach_media, decode_media  # noqa: E402
+from silkworm_spark.operators.similarity import (  # noqa: E402
+    ann_lsh_topk,
+    cosine_col,
+    cosine_topk,
+    embedding_neardup_pairs,
+    hyperplanes,
+)
+from silkworm_spark.operators.textstats import (  # noqa: E402
+    LANG_MARKERS,
+    _marker_regex,
+    fingerprint,
+    lang_guess,
+    quality_score,
+    token_stats,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship: one real crawl, end to end (SURVEY.md §7 step 2)
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Crawl a synthetic web derived from the sf0.001 documents table:
+    3 budgeted rounds of dequeue → dedup → fetch-join → parse →
+    re-enqueue, checkpointed; returns the harvested documents table
+    (doc_id + interleaved span array)."""
+    import tempfile
+
+    from silkworm_spark.plans.engine import CrawlConfig, run_crawl
+    from silkworm_spark.schemas import SEEDS_SCHEMA, WEB_SCHEMA
+    from silkworm_spark.sources.webgen import build_seeds, build_web_df
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    n_pages = docs.count()  # web size = corpus size (ties entry to sf0.001)
+    n_hosts = 16
+    web = build_web_df(spark, n_pages, n_hosts)
+    seeds = spark.createDataFrame(build_seeds(6, n_pages, n_hosts), SEEDS_SCHEMA)
+    ckpt = tempfile.mkdtemp(prefix="silkworm_entry_")
+    engine = run_crawl(
+        spark, web, seeds, None, ckpt,
+        CrawlConfig(max_rounds=3, round_budget=100_000, use_bloom=True),
+    )
+    return engine.documents()
+
+
+# --------------------------------------------------------------------------
+# queries + oracles
+# --------------------------------------------------------------------------
+
+_Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_SQL: dict[str, str] = {}
+
+
+def _reg(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | None) -> None:
+    _Q[name] = fn
+    if sql is not None:
+        _SQL[name] = sql
+
+
+# ---- crawl-operator analogs over the events table ----
+
+def _seen_anti_join(spark, sf):
+    """Dedup anti-join (engine.py:99-106): drop rows whose key is in
+    the seen set; here 'seen' = users who ever signed up."""
+    ev = _t(spark, sf, "events")
+    seen = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return ev.join(seen, "user_id", "left_anti").select("event_id", "user_id")
+
+
+_reg("seen_anti_join", _seen_anti_join, """
+SELECT e.event_id, e.user_id FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM events s WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+""")
+
+
+def _first_wins_window(spark, sf):
+    """Intra-round first-wins dedup (operators/dedup.py): first
+    occurrence per key by total order (ts, event_id)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_event_id"))
+    )
+
+
+_reg("first_wins_window", _first_wins_window, """
+SELECT user_id, event_id AS first_event_id FROM (
+  SELECT user_id, event_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+""")
+
+
+def _priority_dequeue_topk(spark, sf):
+    """Per-host priority dequeue window (operators/scheduler.py):
+    rank by priority within partition, take top-k."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+_reg("priority_dequeue_topk", _priority_dequeue_topk, """
+SELECT event_type, event_id, value, rnk FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+  FROM events) WHERE rnk <= 5
+""")
+
+
+def _retry_backoff(spark, sf):
+    """RetryMiddleware columns (operators/retry.py, reference
+    middlewares.py:99-153): eligibility filter + exponential backoff."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type") == "error")
+    retry = (F.col("event_id") % 4).cast("int")
+    return (
+        ev.withColumn("retry_times", retry)
+        .filter(F.col("retry_times") < 3)
+        .select(
+            "event_id", "retry_times",
+            (F.lit(0.5) * F.pow(F.lit(2.0), F.col("retry_times").cast("double"))).alias("backoff_s"),
+        )
+    )
+
+
+_reg("retry_backoff", _retry_backoff, """
+SELECT event_id, CAST(event_id % 4 AS INT) AS retry_times,
+       0.5 * power(2.0, CAST(event_id % 4 AS DOUBLE)) AS backoff_s
+FROM events WHERE event_type = 'error' AND event_id % 4 < 3
+""")
+
+
+def _politeness_budget_cap(spark, sf):
+    """Per-host budget accounting (operators/scheduler.py): cap each
+    key at 3 by arrival order, report rows taken."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_taken"))
+    )
+
+
+_reg("politeness_budget_cap", _politeness_budget_cap, """
+SELECT user_id, count(*) ::BIGINT AS n_taken FROM (
+  SELECT user_id, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 3 GROUP BY user_id
+""")
+
+
+def _frontier_union_dedup(spark, sf):
+    """Retries ∪ new-requests union then first-wins (engine round:
+    unionByName → dedup)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    cand = clicks.unionByName(views)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+_reg("frontier_union_dedup", _frontier_union_dedup, """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM (SELECT * FROM events WHERE event_type = 'click'
+        UNION ALL SELECT * FROM events WHERE event_type = 'view'))
+WHERE rn = 1
+""")
+
+
+def _hot_key_salts(spark, sf):
+    """Hot-host salting plan (operators/scheduler.py): per-key row
+    counts and the salt fan-out ceil(cnt/50) each key would get."""
+    ev = _t(spark, sf, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("cnt"),
+        F.ceil(F.count("*") / 50.0).cast("bigint").alias("salts"),
+    )
+
+
+_reg("hot_key_salts", _hot_key_salts, """
+SELECT user_id, count(*)::BIGINT AS cnt, CAST(ceil(count(*) / 50.0) AS BIGINT) AS salts
+FROM events GROUP BY user_id
+""")
+
+
+def _sessionize(spark, sf):
+    """Stateful-stream analog (SURVEY.md §2.10): session counts per
+    user with a 30-minute inactivity gap."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("new_sess").cast("bigint").alias("n_sessions"))
+    )
+
+
+_reg("sessionize", _sessionize, """
+SELECT user_id, sum(new_sess)::BIGINT AS n_sessions FROM (
+  SELECT user_id,
+         CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events) GROUP BY user_id
+""")
+
+
+# ---- join / aggregation plumbing (TPC-H-shaped) ----
+
+def _tpch_q1(spark, sf):
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_reg("tpch_q1", _tpch_q1, """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)::BIGINT AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+
+def _tpch_q3_topk(spark, sf):
+    cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+                li.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+_reg("tpch_q3_topk", _tpch_q3_topk, """
+SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+
+
+def _tpch_q6(spark, sf):
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+_reg("tpch_q6", _tpch_q6, """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""")
+
+
+def _dim_broadcast_join(spark, sf):
+    """Broadcast-dim join (the robots/host-state join shape in
+    operators/scheduler.py)."""
+    orders = _t(spark, sf, "orders")
+    cust = _t(spark, sf, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+_reg("dim_broadcast_join", _dim_broadcast_join, """
+SELECT c_mktsegment, count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 2) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+""")
+
+
+# ---- corpus dedup (documents table) ----
+
+_SHINGLE_SQL = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, ('0x' || substr(md5(array_to_string(w[i:i+{lastoff}], ' ')), 1, 8))::BIGINT AS h
+  FROM words, UNNEST(range(1, len(w) - {nm2})) AS t(i))
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    return _SHINGLE_SQL.format(lastoff=n - 1, nm2=n - 2)
+
+
+def _dedup_exact(spark, sf):
+    return exact_dedup(_t(spark, sf, "documents"))
+
+
+_reg("dedup_exact", _dedup_exact, r"""
+SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*)::BIGINT AS group_size
+FROM documents GROUP BY 1
+""")
+
+
+def _dedup_ngram_jaccard(spark, sf):
+    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=4, threshold=0.1)
+
+
+_reg("dedup_ngram_jaccard", _dedup_ngram_jaccard, _shingle_cte(4) + """
+, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n
+          FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT a, b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.1
+""")
+
+
+def _minhash_sql(k: int) -> str:
+    mins = ",\n    ".join(
+        f"min(({a} * (h % {MINHASH_P}) + {b}) % {MINHASH_P}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    return mins
+
+
+def _dedup_minhash_lsh(spark, sf):
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), k=16, bands=4, n=4)
+
+
+def _minhash_lsh_oracle(k: int = 16, bands: int = 4, n: int = 4) -> str:
+    r = k // bands
+    band_exprs = ",\n      ".join(
+        "md5(" + " || ',' || ".join(f"m{j}::VARCHAR" for j in range(b * r, (b + 1) * r)) + f") AS bk{b}"
+        for b in range(bands)
+    )
+    bucket_rows = " UNION ALL ".join(
+        f"SELECT doc_id, '{b}:' || bk{b} AS bucket FROM bandkeys" for b in range(bands)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        _shingle_cte(n)
+        + f"""
+, sig AS (SELECT doc_id, {_minhash_sql(k)} FROM sh GROUP BY doc_id),
+bandkeys AS (SELECT doc_id, {band_exprs} FROM sig),
+buckets AS ({bucket_rows}),
+cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         FROM buckets a JOIN buckets b USING (bucket) WHERE a.doc_id < b.doc_id)
+SELECT cand.a, cand.b, round(({match_terms}) * 1.0 / {k}, 4) AS est_jaccard
+FROM cand JOIN sig sa ON sa.doc_id = cand.a JOIN sig sb ON sb.doc_id = cand.b
+"""
+    )
+
+
+_reg("dedup_minhash_lsh", _dedup_minhash_lsh, _minhash_lsh_oracle())
+
+
+def _dedup_simhash(spark, sf):
+    return simhash_pairs(_t(spark, sf, "documents"), max_hamming=3)
+
+
+def _simhash_oracle(bits: int = 32, max_hamming: int = 3) -> str:
+    sums = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}" for b in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b}::BIGINT ELSE 0 END)" for b in range(bits))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+  FROM documents, UNNEST(string_split_regex(trim(lower(text)), '\s+')) AS t(word)),
+agg AS (SELECT doc_id, {sums} FROM w GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS simhash FROM agg)
+SELECT a.doc_id AS a, b.doc_id AS b, bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM fp a, fp b WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+_reg("dedup_simhash", _dedup_simhash, _simhash_oracle())
+
+
+# ---- similarity search (embeddings table) ----
+
+def _embed_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+_reg("embed_cosine_topk", _embed_cosine_topk, """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings e, q WHERE e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""")
+
+
+_ANN_PLANES = hyperplanes(4, 64, seed=42)
+
+
+def _embed_ann_lsh(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), qvec, n_planes=4, k=5, seed=42)
+
+
+def _ann_oracle() -> str:
+    plane_lits = [
+        "[" + ", ".join(f"{x!r}" for x in p) + "]::DOUBLE[]" for p in _ANN_PLANES
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {pl}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, pl in enumerate(plane_lits)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT b.vec_id,
+       round(list_dot_product(b.v, q.qv) /
+             (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM b, q WHERE b.vec_id != 0 AND b.bucket = q.qbucket
+ORDER BY cosine DESC, b.vec_id LIMIT 5
+"""
+
+
+_reg("embed_ann_lsh", _embed_ann_lsh, _ann_oracle())
+
+
+def _embed_neardup(spark, sf):
+    """Brute-force near-dup pairs (exact oracle); the LSH-bucketed
+    variant is embed_neardup_lsh (rows-only check)."""
+    emb = _t(spark, sf, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= 0.4)
+        .select("a", "b", "cosine")
+    )
+
+
+_reg("embed_neardup", _embed_neardup, """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
+""")
+
+
+def _embed_neardup_lsh(spark, sf):
+    """LSH-bucketed near-dup (the 10^10-scale path) — recall-bounded,
+    so checked rows-only (no SQL oracle)."""
+    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4, n_planes=4)
+
+
+_reg("embed_neardup_lsh", _embed_neardup_lsh, None)
+
+
+# ---- text analysis (documents table) ----
+
+def _text_token_stats(spark, sf):
+    return token_stats(_t(spark, sf, "documents"))
+
+
+_reg("text_token_stats", _text_token_stats, r"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
+       length(text)::INT AS n_chars,
+       round(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 4) AS avg_token_len
+FROM documents
+""")
+
+
+def _text_quality(spark, sf):
+    return quality_score(_t(spark, sf, "documents"))
+
+
+_EN_RE = _marker_regex(LANG_MARKERS["en"])
+
+_reg("text_quality", _text_quality, rf"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text), 4) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text), 4) AS digit_ratio,
+       round(len(regexp_extract_all(lower(text), '{_EN_RE}')) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 4) AS stopword_ratio,
+       CASE WHEN length(text) < 100 THEN 'short'
+            WHEN length(text) < 300 THEN 'medium' ELSE 'long' END AS len_band
+FROM documents
+""")
+
+
+def _lang_id(spark, sf):
+    return lang_guess(_t(spark, sf, "documents"))
+
+
+def _lang_oracle() -> str:
+    # argmax by (hits, code) — mirrors array_max over (hits, code) structs
+    structs = ", ".join(
+        f"{{'hits': len(regexp_extract_all(lower(text), '{_marker_regex(w)}')), 'code': '{c}'}}"
+        for c, w in sorted(LANG_MARKERS.items(), reverse=True)
+    )
+    return f"""
+WITH scored AS (SELECT doc_id, list_max([{structs}]) AS best FROM documents)
+SELECT doc_id, best.code AS lang_guess, best.hits::INT AS marker_hits FROM scored
+"""
+
+
+_reg("lang_id", _lang_id, _lang_oracle())
+
+
+def _doc_fingerprint(spark, sf):
+    return fingerprint(_t(spark, sf, "documents"))
+
+
+_reg("doc_fingerprint", _doc_fingerprint, r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp FROM documents
+""")
+
+
+# ---- multimodal plumbing (documents table as byte source) ----
+
+def _multimodal_decode(spark, sf):
+    return decode_media(attach_media(_t(spark, sf, "documents")))
+
+
+_reg("multimodal_decode", _multimodal_decode, """
+WITH m AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+         octet_length(encode(text))::INT AS n
+  FROM documents)
+SELECT doc_id, kind, n AS n_bytes,
+       (n % 640 + 1)::INT AS width, ((n * 7) % 480 + 1)::INT AS height,
+       (CASE WHEN kind = 'video' THEN n % 24 + 1 ELSE 1 END)::INT AS n_frames,
+       'stub' AS decoder
+FROM m
+""")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_Q)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_SQL)

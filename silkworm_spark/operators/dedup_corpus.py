@@ -1,0 +1,206 @@
+"""Corpus deduplication for training-data pipelines.
+
+Five strategies over a ``documents(doc_id, text)`` table, each with an
+ANSI-SQL-expressible definition so a DuckDB oracle can verify values:
+
+- exact:       hash-groupBy on the normalized text fingerprint;
+- n-gram Jaccard: word-shingle sets, shingle-equi-join, |∩|/|∪| ≥ τ;
+- MinHash+LSH: k permuted min-hashes over md5 shingle hashes, banded
+               into buckets; candidate pairs share a band bucket —
+               the 10^10-scale path (join fan-out bounded by bands);
+- SimHash:     32-bit sign-aggregated word-hash fingerprint; near-dup
+               iff small Hamming distance;
+- embedding:   cosine ≥ τ over an embedding column (see similarity.py).
+
+All hashes derive from md5 (available identically in Spark and DuckDB)
+so the oracle can recompute every value bit-for-bit. At cluster scale
+the shingle-join/dedup steps shuffle on shingle/bucket keys — bounded
+per key by LSH banding, the standard skew control for near-dup mining.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# (a, b) parameters of the k hash permutations h_i(x) = (a_i*x + b_i) mod P
+# over md5-derived 32-bit shingle hashes. P = 2^31-1 (Mersenne prime).
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a,b) pairs — a simple LCG stream, no RNG state."""
+    params = []
+    x = seed
+    for _ in range(k):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (x % (MINHASH_P - 1)) + 1
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = x % MINHASH_P
+        params.append((a, b))
+    return params
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+
+def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle_hash) — distinct word-n-gram md5-derived 32-bit
+    hashes per document."""
+    words = _words(text_col)
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("shingle"), 1, 8), 16, 10).cast("bigint").alias("h"),
+        )
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint: one row
+    per distinct content with the kept (min) doc_id and group size."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("group_size"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ τ.
+
+    |∩| from the shingle equi-join, |∪| = |A|+|B|-|∩|. The equi-join
+    shuffles on the shingle hash — at scale, cap df (drop shingles
+    appearing in > f·N docs) before joining; here the corpus is small.
+    """
+    sh = shingle_hashes(docs, n, text_col).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "h")
+    b = sh.select(F.col("doc_id").alias("b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "a").join(sb, "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig: array of k min-hash values)."""
+    sh = shingle_hashes(docs, n, text_col)
+    # (h % P) first keeps a*(h%P)+b < 2^62 — no BIGINT overflow
+    mins = [
+        F.min((F.lit(a) * (F.col("h") % MINHASH_P) + F.lit(b)) % F.lit(MINHASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"m{i}" for i in range(k)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs sharing ≥1 LSH band bucket, with the
+    estimated Jaccard = fraction of matching minhashes.
+
+    Scale path: the band-bucket equi-join bounds comparisons to
+    documents agreeing on a full band (r = k/bands rows), instead of
+    the quadratic all-pairs join."""
+    rows_per_band = k // bands
+    sig = minhash_signatures(docs, k, n, text_col).cache()
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                ",",
+                *[
+                    F.element_at("sig", j + 1).cast("string")
+                    for j in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+                ],
+            )
+        ).alias("bucket")
+        for bi in range(bands)
+    ]
+    # prefix the band index so identical signatures in different bands don't collide
+    buckets = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
+    ).select("doc_id", F.concat_ws(":", F.col("band").cast("string"), "bucket").alias("bucket"))
+
+    a = buckets.select(F.col("doc_id").alias("a"), "bucket")
+    b = buckets.select(F.col("doc_id").alias("b"), "bucket")
+    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+    siga = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sigb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+        / F.lit(k),
+        4,
+    )
+    return (
+        cand.join(siga, "a").join(sigb, "b")
+        .select("a", "b", est.alias("est_jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """32-bit SimHash over word md5-hashes: bit b of the fingerprint is
+    the sign of sum over words of (±1 per word-hash bit b)."""
+    w = docs.select("doc_id", F.explode(_words(text_col)).alias("word"))
+    w = w.select(
+        "doc_id", F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("bigint").alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = w.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ d. Small-corpus
+    all-pairs form; the scale path buckets on bit-bands of the
+    fingerprint first (same LSH trick as minhash_lsh_pairs)."""
+    s = simhash(docs, text_col).cache()
+    a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )

@@ -1,0 +1,85 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All pure-column expressions (JVM-side, whole-stage codegen — no Python
+in the hot path), designed so an equivalent ANSI-SQL oracle can verify
+every value: token counting, quality scoring, n-gram-free language ID
+(stopword-hit heuristic), and document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword markers for the heuristic language ID
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "a"],
+    "es": ["el", "la", "los", "de"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "les", "des", "et"],
+    "zh": ["的", "是", "在", "了"],
+}
+
+
+def _marker_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def token_count_col(text: str | Column) -> Column:
+    """Whitespace tokenization — size of the split array."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        F.round(F.length(F.regexp_replace(text_col, r"\s+", "")) / F.size(toks), 4).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: alpha ratio, digit ratio, stopword
+    ratio, length band — the usual cheap pre-filters before expensive
+    model-based scoring."""
+    t = F.col(text_col)
+    n = F.length(t)
+    alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    stop_hits = F.regexp_count(F.lower(t), F.lit(_marker_regex(LANG_MARKERS["en"])))
+    n_tokens = F.size(F.split(F.trim(t), r"\s+"))
+    return docs.select(
+        "doc_id",
+        F.round(alpha / n, 4).alias("alpha_ratio"),
+        F.round(digits / n, 4).alias("digit_ratio"),
+        F.round(stop_hits / n_tokens, 4).alias("stopword_ratio"),
+        F.when(n < 100, "short").when(n < 300, "medium").otherwise("long").alias("len_band"),
+    )
+
+
+def lang_guess(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: argmax of per-language marker counts
+    (deterministic tie-break by language code)."""
+    t = F.lower(F.col(text_col))
+    hits = [
+        F.struct(
+            F.regexp_count(t, F.lit(_marker_regex(words))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_MARKERS.items(), reverse=True)
+    ]
+    # array_max picks highest hits; ties resolved toward the earlier code
+    # because reverse-sorted structs compare (hits, code) lexicographically
+    best = F.array_max(F.array(*hits))
+    return docs.select("doc_id", best["code"].alias("lang_guess"), best["hits"].alias("marker_hits"))
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-normalized lowercase md5 — the exact-dedup key."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
