@@ -116,6 +116,120 @@ def offline_fetch(batch: DataFrame, web: DataFrame, max_redirects: int = 10) -> 
     return out
 
 
+RESOLVED_COLS = [
+    "url", "final_url", "status", "content_type", "body",
+    "redirect_times", "error", "attempts_until_ok",
+]
+
+
+def resolve_web(web: DataFrame, max_redirects: int = 10) -> DataFrame:
+    """Precompute each URL's redirect resolution ONCE per crawl:
+    (final_url, terminal status/body/content_type, redirect_times,
+    error, attempts_until_ok of the terminal node).
+
+    Equivalent to running the per-request redirect loop, because only
+    terminal (non-3xx) nodes carry retryable statuses — so the
+    retry-vs-attempts rule applies only at the end of a chain. Turns
+    the per-round unroll (≤10 joins/round) into one upfront pass and
+    one equi-join per round."""
+    w = web.select(
+        F.col("url").alias("w_url"), F.col("status").alias("w_status"),
+        F.col("content_type").alias("w_ct"), F.col("redirect_to").alias("w_redir"),
+        F.col("body").alias("w_body"), F.col("attempts_until_ok").alias("w_attempts"),
+    )
+    pending = web.select(
+        F.col("url"),
+        F.col("url").alias("cur_url"),
+        F.array(F.col("url")).alias("visited"),
+        F.lit(0).alias("redirect_times"),
+    )
+    finished: list[DataFrame] = []
+    cached: list[DataFrame] = []
+    for _step in range(max_redirects + 1):
+        j = pending.join(w, pending.cur_url == w.w_url, "left")
+        is_redirect = (
+            F.col("w_status").isin(*REDIRECT_STATUSES) & F.col("w_redir").isNotNull()
+        )
+        loops = is_redirect & F.array_contains(F.col("visited"), F.col("w_redir"))
+        over = F.lit(_step >= max_redirects)
+        done = j.filter(~is_redirect | loops | over).select(
+            "url",
+            F.col("cur_url").alias("final_url"),
+            F.col("w_status").alias("status"),
+            F.col("w_ct").alias("content_type"),
+            F.col("w_body").alias("body"),
+            F.col("redirect_times"),
+            F.when(F.col("w_url").isNull(), F.lit("fetch_error"))
+            .when(loops, F.lit("redirect_loop"))
+            .when(is_redirect & over, F.lit("too_many_redirects"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("error"),
+            F.coalesce(F.col("w_attempts"), F.lit(0)).alias("attempts_until_ok"),
+        )
+        finished.append(done)
+        pending = j.filter(is_redirect & ~loops & ~over).select(
+            "url",
+            F.col("w_redir").alias("cur_url"),
+            F.array_append(F.col("visited"), F.col("w_redir")).alias("visited"),
+            (F.col("redirect_times") + 1).alias("redirect_times"),
+        ).cache()
+        cached.append(pending)
+        if pending.isEmpty():
+            break
+    out = finished[0]
+    for d in finished[1:]:
+        out = out.unionByName(d)
+    out = out.select(*RESOLVED_COLS)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
+def offline_fetch_resolved(batch: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Per-round fetch against the precomputed resolution table: one
+    equi-join, then the retryable-status rule
+    (status=200 once retry_times >= attempts_until_ok)."""
+    r = resolved.select(
+        F.col("url").alias("r_url"), F.col("final_url"),
+        F.col("status").alias("r_status"), F.col("content_type"),
+        F.col("body"), F.col("redirect_times"), F.col("error").alias("r_error"),
+        F.col("attempts_until_ok"),
+    )
+    # Matches: INNER join with the (small, body-free) batch broadcast —
+    # the body-heavy resolved side streams in place, nothing megabyte-
+    # sized ever shuffles or builds on the driver. An outer join can't
+    # do this (only the non-preserved side may be broadcast), so the
+    # missing-URL path (a dead link — never occurs in generated webs)
+    # is a separate keys-only anti-join.
+    matched = r.join(F.broadcast(batch), batch.url == r.r_url, "inner")
+    eff_status = F.when(
+        (F.col("attempts_until_ok") > 0)
+        & (F.col("retry_times") >= F.col("attempts_until_ok"))
+        & F.col("r_error").isNull(),
+        F.lit(200),
+    ).otherwise(F.col("r_status"))
+    ok_rows = matched.select(
+        *_CARRY,
+        F.coalesce(F.col("final_url"), F.col("url")).alias("final_url"),
+        eff_status.alias("status"),
+        "content_type", "body",
+        F.coalesce(F.col("redirect_times"), F.lit(0)).alias("redirect_times"),
+        F.col("r_error").alias("error"),
+    )
+    missing_rows = batch.join(
+        resolved.select("url").hint("SHUFFLE_HASH"), "url", "left_anti"
+    ).select(
+        *_CARRY,
+        F.col("url").alias("final_url"),
+        F.lit(None).cast("int").alias("status"),
+        F.lit(None).cast("string").alias("content_type"),
+        F.lit(None).cast("binary").alias("body"),
+        F.lit(0).alias("redirect_times"),
+        F.lit("fetch_error").alias("error"),
+    )
+    return ok_rows.unionByName(missing_rows)
+
+
 def live_fetch(batch: DataFrame, timeout_s: float = 30.0, concurrency: int = 16) -> DataFrame:
     """Production fetch path: thread-pooled HTTP inside mapInPandas.
 

@@ -8,9 +8,17 @@ FIFO worker would produce (children in yield order per parent, parents
 in dequeue order; SURVEY.md §3.4).
 
 A bare ``Window.orderBy`` with no partition key funnels every row
-through one task — unusable at 10^10 rows. Instead: range-repartition
-by the order key, rank within partitions, then add per-partition
-offsets (a tiny driver-side prefix sum over partition counts).
+through one task — unusable at 10^10 rows. And ``repartitionByRange``
+is unusable for numbering: its range boundaries come from sampling
+that may re-execute differently between the counting pass and the
+numbering pass (a real nondeterminism bug caught by the bench).
+
+Instead: a *deterministic* bucket key computed from the leading order
+column's value range, a per-bucket count collected to the driver
+(tiny), a prefix-sum offset per bucket, and a row_number window
+partitioned by bucket. seq = offset[bucket] + rn - 1. Fully
+deterministic under any physical partitioning, and the window works
+on ~n/buckets rows per task.
 """
 
 from __future__ import annotations
@@ -25,24 +33,57 @@ def assign_dense_seq(
     start: int,
     out_col: str = "seq",
     num_partitions: int | None = None,
+    bounds: tuple | None = None,
 ) -> tuple[DataFrame, int]:
-    """Returns (df with dense ``out_col``, total row count) — the count
-    falls out of the per-partition prefix sum for free."""
+    """Returns (df with dense ``out_col`` in ``order_cols`` order,
+    total row count). Requires the order key to be unique per row
+    (it is: (parent_seq, child_index) is unique by construction).
+
+    ``bounds`` = (min, max) of the leading order column when the caller
+    already knows it (the engine does: parents' seq range) — skips one
+    full pass over the input."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
-    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    lead = order_cols[0]
+    if bounds is None:
+        agg = df.agg(
+            F.min(lead).alias("mn"), F.max(lead).alias("mx"), F.count("*").alias("n")
+        ).first()
+        if agg["n"] == 0:
+            return df.withColumn(out_col, F.lit(start).cast("long")), 0
+        mn, mx = int(agg["mn"]), int(agg["mx"])
+    else:
+        mn, mx = int(bounds[0]), int(bounds[1])
+    if mn == mx and len(order_cols) > 1:
+        # degenerate leading key (e.g. seeds: parent_seq = -1 for all) —
+        # bucket on the next order column instead of one giant bucket
+        lead = order_cols[1]
+        agg = df.agg(F.min(lead).alias("mn"), F.max(lead).alias("mx")).first()
+        if agg["mn"] is None:
+            return df.withColumn(out_col, F.lit(start).cast("long")), 0
+        mn, mx = int(agg["mn"]), int(agg["mx"])
+
+    n_buckets = max(1, parts * 4)
+    span = max(1, mx - mn + 1)
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor((F.col(lead) - F.lit(mn)) * F.lit(n_buckets) / F.lit(span)),
+    ).cast("int")
+    b = df.withColumn("_bkt", bucket)
+    counts = {
+        r["_bkt"]: r["cnt"]
+        for r in b.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
+    }
     if not counts:
         return df.withColumn(out_col, F.lit(start).cast("long")), 0
     offsets, acc = {}, start
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
     offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    w = Window.partitionBy("_bkt").orderBy(*[F.col(c) for c in order_cols])
     out = (
-        ranged.withColumn("_rn", F.row_number().over(w))
-        .withColumn(out_col, (offmap[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
-        .drop("_pid", "_rn")
+        b.withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, (offmap[F.col("_bkt")] + F.col("_rn") - 1).cast("long"))
+        .drop("_bkt", "_rn")
     )
     return out, acc - start

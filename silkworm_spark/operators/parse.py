@@ -156,27 +156,52 @@ CALLBACKS: dict[str, Callable[[dict], Iterator[dict]]] = {
 
 
 def run_parse_stage(fetched: DataFrame) -> DataFrame:
-    """fetched (frontier cols + fetch-result cols) → PARSE_OUT rows.
+    """fetched (frontier cols + fetch-result cols) → PARSE_OUT rows,
+    one per document.
 
-    One mapInPandas over the salted fetch partitions; callback errors
-    land in the ``error`` column instead of failing the stage."""
+    One mapInPandas pass: child URLs are canonicalized/host-extracted
+    inside the same vectorized batch and packed into a ``children``
+    array (exploded JVM-side) — the Arrow boundary moves 1 row per
+    document instead of 1 per link. Parent metadata rides along so
+    downstream routing is pure projection. Callback errors land in the
+    ``error`` column (worker-survives-error, engine.py:138-152)."""
 
-    cols = ["url", "final_url", "status", "content_type", "body", "callback"]
+    from silkworm_spark.functions.urls import canonicalize_url, host_of
+
+    cols = ["url", "final_url", "status", "content_type", "body", "callback",
+            "seq", "depth"]
+    out_cols = [f.name for f in PARSE_OUT_SCHEMA.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[dict] = []
             for row in pdf[cols].to_dict("records"):
+                base = dict(
+                    url=row["url"], seq=row["seq"], depth=row["depth"],
+                    status=row["status"], callback=row["callback"],
+                    out_kind="none", doc_id=None, children=None,
+                    spans=None, error=None,
+                )
                 cb = CALLBACKS.get(row["callback"] or "parse", parse_default)
                 try:
+                    children: list[dict] = []
                     for o in cb(row):
-                        out.append(dict(url=row["url"], error=None, **o))
+                        if o["out_kind"] == "item":
+                            base["out_kind"] = "item"
+                            base["spans"] = o["spans"]
+                            base["doc_id"] = canonicalize_url(row["final_url"] or row["url"])
+                        elif o["out_kind"] == "request" and o["child_url"]:
+                            cu = canonicalize_url(o["child_url"])
+                            children.append(dict(url=cu, host=host_of(cu), idx=o["child_index"]))
+                    if children:
+                        base["children"] = children
+                    if base["out_kind"] != "none" or children:
+                        out.append(base)
                 except Exception as exc:  # contain per row (engine.py:138-152)
                     out.append(dict(
-                        url=row["url"], out_kind="error", spans=None,
-                        child_url=None, child_index=None,
+                        base, out_kind="error", spans=None, children=None,
                         error=f"{type(exc).__name__}: {exc}",
                     ))
-            yield pd.DataFrame(out, columns=[f.name for f in PARSE_OUT_SCHEMA.fields])
+            yield pd.DataFrame(out, columns=out_cols)
 
     return fetched.mapInPandas(gen, schema=PARSE_OUT_SCHEMA)

@@ -42,6 +42,13 @@ class DequeueResult:
     denied: DataFrame  # robots-disallowed rows (removed from frontier)
     new_host_state: DataFrame  # host, fetched, next_free after this round
     host_counts: DataFrame  # host, taken (for metrics)
+    n_batch: int = -1  # rows in batch when known (budget not hit ⇒ ranked count)
+    seq_bounds: tuple | None = None  # (min seq, max seq) of the batch
+    _ranked: DataFrame | None = None  # internal cache handle (unpersist after round)
+
+    def release(self) -> None:
+        if self._ranked is not None:
+            self._ranked.unpersist()
 
 
 def dequeue_round(
@@ -107,9 +114,29 @@ def dequeue_round(
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("seq"))
     ranked = a.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") <= cap)
 
-    batch = ranked.orderBy("seq").limit(round_budget)
+    # global round budget: a bare orderBy().limit(k) merges k rows per
+    # partition onto the driver — instead find the k-th smallest seq
+    # (a narrow single-column TakeOrdered) and filter distributedly
+    ranked = ranked.cache()
+    stats = ranked.agg(
+        F.count("*").alias("n"), F.min("seq").alias("mn"), F.max("seq").alias("mx")
+    ).first()
+    n_ranked, seq_min, seq_max = stats["n"], stats["mn"], stats["mx"]
+    n_batch = n_ranked
+    if n_ranked > round_budget:
+        kth = (
+            ranked.select("seq").orderBy("seq").limit(round_budget)
+            .agg(F.max("seq")).first()[0]
+        )
+        batch = ranked.filter(F.col("seq") <= kth)
+        n_batch, seq_max = round_budget, kth
+    else:
+        batch = ranked
 
-    # salted partition key: hot hosts fan out over ceil(rows/target) salts
+    # salted partition key: hot hosts fan out over ceil(rows/target)
+    # salts. `part` is a logical key in a fixed 1024 space — the engine
+    # repartitions on it with a width adapted to the batch size.
+    key_space = 1024
     cnt_w = Window.partitionBy("host")
     batch = (
         batch.withColumn("_host_rows", F.count("*").over(cnt_w))
@@ -119,7 +146,7 @@ def dequeue_round(
         )
         .withColumn(
             "part",
-            F.pmod(F.xxhash64("host") + F.pmod(F.xxhash64("url"), F.col("_salts")), F.lit(parts)).cast("int"),
+            F.pmod(F.xxhash64("host") + F.pmod(F.xxhash64("url"), F.col("_salts")), F.lit(key_space)).cast("int"),
         )
     )
 
@@ -143,10 +170,13 @@ def dequeue_round(
     )
 
     keep_cols = frontier.columns
-    batch = batch.repartition(parts, "part").select(*keep_cols, "part")
+    batch = batch.select(*keep_cols, "part")
     return DequeueResult(
         batch=batch,
         denied=denied.select(*keep_cols),
         new_host_state=new_host_state,
         host_counts=taken.select("host", "taken"),
+        n_batch=n_batch,
+        seq_bounds=(seq_min, seq_max) if n_batch else None,
+        _ranked=ranked,
     )

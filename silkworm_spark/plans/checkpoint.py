@@ -102,21 +102,40 @@ class CrawlCheckpoint:
         the next run resumes from the prior round exactly; orphan round
         directories are inert.
         """
+        import concurrent.futures as cf
+
         rdir = f"round_{round_no:05d}"
         new_manifest = json.loads(json.dumps(self.manifest))  # deep copy
         new_manifest["round"] = round_no
         new_manifest["vtime"] = vtime
         new_manifest["seq_next"] = seq_next
 
-        for name, df in appends.items():
-            if df is not None and not df.isEmpty():
-                rel = os.path.join(rdir, name)
-                df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-                new_manifest["tables"].setdefault(name, []).append(rel)
-        for name, df in snapshots.items():
+        # all table writes run as concurrent Spark jobs (separate driver
+        # threads); the manifest publishes only after every write lands,
+        # so atomicity is unchanged — commit wall time ≈ the largest
+        # single write instead of the sum
+        def write_append(name: str, df: DataFrame) -> tuple[str, str | None]:
+            if df is None or df.isEmpty():
+                return name, None
             rel = os.path.join(rdir, name)
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-            new_manifest["tables"][name] = [rel]
+            return name, rel
+
+        def write_snapshot(name: str, df: DataFrame) -> tuple[str, str]:
+            rel = os.path.join(rdir, name)
+            df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
+            return name, rel
+
+        with cf.ThreadPoolExecutor(max_workers=len(appends) + len(snapshots) or 1) as pool:
+            afuts = [pool.submit(write_append, n, df) for n, df in appends.items()]
+            sfuts = [pool.submit(write_snapshot, n, df) for n, df in snapshots.items()]
+            for f in afuts:
+                name, rel = f.result()
+                if rel is not None:
+                    new_manifest["tables"].setdefault(name, []).append(rel)
+            for f in sfuts:
+                name, rel = f.result()
+                new_manifest["tables"][name] = [rel]
         if bloom is not None:
             rel = os.path.join(rdir, "bloom.npz")
             bloom.save(os.path.join(self.root, rel))

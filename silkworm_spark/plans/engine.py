@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 
 from silkworm_spark.functions.urls import canonicalize_udf, host_udf, url_hash_col
 from silkworm_spark.operators.dedup import dedup_candidates
-from silkworm_spark.operators.fetch import live_fetch, offline_fetch
+from silkworm_spark.operators.fetch import (
+    live_fetch,
+    offline_fetch_resolved,
+    resolve_web,
+)
 from silkworm_spark.operators.order import assign_dense_seq
 from silkworm_spark.operators.parse import run_parse_stage
 from silkworm_spark.operators.retry import split_retries
@@ -57,7 +61,8 @@ class CrawlConfig:
     bloom_bits: int = 1 << 23
     bloom_k: int = 7
     num_partitions: int | None = None
-    target_rows_per_partition: int = 1000
+    target_rows_per_partition: int = 1000  # salt granularity per host
+    min_rows_per_partition: int = 64  # floor before shrinking task width
     max_depth: int | None = None
 
 
@@ -151,10 +156,30 @@ class CrawlEngine:
     def _robots(self) -> DataFrame:
         return self.spark.read.schema(ROBOTS_SCHEMA).parquet(f"{self.ckpt.root}/robots")
 
+    def _resolved_web(self, shared_path: str | None = None) -> DataFrame:
+        """Redirect resolution, precomputed once per crawl and kept as
+        a checkpointed table (operators/fetch.resolve_web). Pass
+        ``shared_path`` to reuse one resolution across crawls of the
+        same web (benchmarks)."""
+        import os
+
+        path = shared_path or f"{self.ckpt.root}/resolved_web"
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            resolve_web(self.web, self.config.max_redirects).write.mode(
+                "overwrite"
+            ).parquet(path)
+        self._resolved_path = path
+        return self.spark.read.parquet(path)
+
     # ---- the round loop (reference engine.py:339-368) ----
     def run(self) -> CrawlStats:
         cfg = self.config
         t0 = perf_counter()
+        resolved = (
+            self._resolved_web(getattr(self, "_resolved_path", None))
+            if self.fetch_mode == "offline"
+            else None
+        )
         robots = self._robots().cache()
         bloom = self.ckpt.load_bloom(cfg.bloom_bits, cfg.bloom_k)
         vtime = float(self.ckpt.manifest["vtime"])
@@ -173,6 +198,15 @@ class CrawlEngine:
                 break  # queue.join() returned (engine.py:354)
             host_state = self.ckpt.read("host_state")
 
+            _t = {}
+            _tp = rt0 = perf_counter()
+
+            def tick(name):
+                nonlocal _tp
+                now = perf_counter()
+                _t[name] = round((now - _tp) * 1000.0, 1)
+                _tp = now
+
             dq = dequeue_round(
                 frontier, robots, host_state, vtime,
                 round_seconds=cfg.round_seconds,
@@ -183,8 +217,9 @@ class CrawlEngine:
             )
             batch = dq.batch.cache()
             denied = dq.denied.cache()
-            n_batch = batch.count()
+            n_batch = dq.n_batch
             n_denied = denied.count()
+            tick("dequeue")
 
             if n_batch == 0 and n_denied == 0:
                 # nothing eligible: jump the virtual clock forward
@@ -195,71 +230,84 @@ class CrawlEngine:
                 )
                 candidates_t = [t for t in (nb, nf) if t is not None and t > vtime]
                 frontier.unpersist(); batch.unpersist(); denied.unpersist()
+                dq.release()
                 if not candidates_t:
                     break  # nothing can ever become eligible
                 vtime = min(candidates_t)
                 continue
 
             round_no += 1
-            rt0 = perf_counter()
 
-            raw_fetched = (
-                offline_fetch(batch, self.web, cfg.max_redirects)  # cached inside
-                if self.fetch_mode == "offline"
-                else live_fetch(batch).cache()
-            )
-            # repartition on the salted key so parse inherits the
-            # skew-balanced layout (the fetch join shuffled it away)
-            fetched = raw_fetched.repartition(
-                cfg.num_partitions or self.spark.sparkContext.defaultParallelism,
-                "part",
-            ).cache()
+            # partition width adapted to the batch: full configured width
+            # for big rounds, shrinking only when partitions would drop
+            # under min_rows_per_partition (tiny retry-tail rounds)
+            max_parts = cfg.num_partitions or self.spark.sparkContext.defaultParallelism
+            nparts = max(1, min(max_parts, -(-n_batch // cfg.min_rows_per_partition)))
+
+            if self.fetch_mode == "offline":
+                raw_fetched = offline_fetch_resolved(batch, resolved)
+            else:
+                # live fetch: salted per-host layout BEFORE the I/O stage
+                # (politeness pacing happens inside each Arrow batch)
+                raw_fetched = live_fetch(batch.repartition(nparts, "part")).cache()
+
+            from silkworm_spark.operators.retry import RETRY_HTTP_CODES
+
+            # body-free metadata pass: retry split + per-partition metrics
+            # never touch page bodies (the broadcast-batch fetch join is
+            # cheap enough to run twice; bodies flow ONLY into parse)
+            fetched = raw_fetched.drop("body", "content_type").cache()
+            tick("fetch")
 
             ok, retry_rows, gave_up = split_retries(
                 fetched, vtime, cfg.max_retries, cfg.backoff_base
             )
-            parse_out = run_parse_stage(
-                ok.filter(F.col("error").isNull() & F.col("status").isNotNull())
-            ).cache()
-
-            items = parse_out.filter(F.col("out_kind") == "item")
-            parse_errors = parse_out.filter(F.col("out_kind") == "error")
-            child_reqs = parse_out.filter(F.col("out_kind") == "request")
-
-            parent = fetched.select(
-                F.col("url").alias("p_url"), F.col("final_url").alias("p_final"),
-                F.col("status").alias("p_status"), F.col("depth").alias("p_depth"),
-                F.col("seq").alias("p_seq"), F.col("callback").alias("p_callback"),
+            # parse is host-agnostic — repartition uniformly by url so
+            # the Python stage is balanced regardless of the hot-host
+            # distribution (`part` stays on rows for lineage). Force-
+            # materialize each cache before it branches: a cached-but-
+            # lazy DataFrame consumed by two branches of one query gets
+            # computed TWICE concurrently (AQE materializes both map
+            # stages in parallel before the cache is populated).
+            parseable = (
+                ~F.coalesce(F.col("status").isin(RETRY_HTTP_CODES), F.lit(False))
+                & F.col("error").isNull()
+                & F.col("status").isNotNull()
             )
-            documents = (
-                items.join(parent, items.url == parent.p_url)
-                .select(
-                    canonicalize_udf(F.coalesce("p_final", "p_url")).alias("doc_id"),
-                    "spans",
-                    F.col("p_status").alias("status"),
-                    F.col("p_depth").alias("depth"),
-                    F.col("p_seq").alias("seq"),
-                    F.lit(round_no).alias("round"),
-                )
+            parse_out = run_parse_stage(
+                raw_fetched.filter(parseable).repartition(nparts, "url")
+            ).cache()
+            parse_out.count()
+
+            # item/request routing is pure projection — parse carried the
+            # parent metadata and canonical child URLs through the UDF;
+            # the per-link explode happens here, JVM-side
+            documents = parse_out.filter(F.col("out_kind") == "item").select(
+                "doc_id", "spans", "status", "depth", "seq",
+                F.lit(round_no).alias("round"),
             )
 
             children = (
-                child_reqs.join(parent, child_reqs.url == parent.p_url)
+                parse_out.filter(F.size("children") > 0)
                 .select(
-                    canonicalize_udf("child_url").alias("url"),
-                    (F.col("p_depth") + 1).alias("depth"),
-                    F.col("p_seq").alias("parent_seq"),
-                    (F.col("child_index") + 1).alias("child_index"),
-                    F.coalesce(F.col("p_callback"), F.lit("parse")).alias("callback"),
+                    F.col("seq").alias("parent_seq"), "depth", "callback",
+                    F.explode("children").alias("c"),
                 )
-                .withColumn("url_hash", url_hash_col("url"))
-                .withColumn("host", host_udf("url"))
-                .withColumn("seq", F.lit(-1).cast("long"))
-                .withColumn("priority", F.lit(0))
-                .withColumn("dont_filter", F.lit(False))
-                .withColumn("retry_times", F.lit(0))
-                .withColumn("not_before", F.lit(0.0))
-                .withColumn("round_added", F.lit(round_no))
+                .select(
+                    F.col("c.url").alias("url"),
+                    url_hash_col(F.col("c.url")).alias("url_hash"),
+                    F.col("c.host").alias("host"),
+                    (F.col("depth") + 1).alias("depth"),
+                    "parent_seq",
+                    (F.col("c.idx") + 1).alias("child_index"),
+                    F.lit(-1).cast("long").alias("seq"),
+                    F.coalesce(F.col("callback"), F.lit("parse")).alias("callback"),
+                    F.lit(0).alias("priority"),
+                    F.lit(False).alias("dont_filter"),
+                    F.lit(0).alias("retry_times"),
+                    F.lit(0.0).alias("not_before"),
+                    F.lit(round_no).alias("round_added"),
+                )
                 .select(*_FRONTIER_COLS)
             )
             if cfg.max_depth is not None:
@@ -269,15 +317,20 @@ class CrawlEngine:
                 retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
             )
 
+            tick("plan_parse")
             seen = self.ckpt.read("seen")
+            # cache: consumed by the bounds agg, bucket counts, numbering
+            # window, and the frontier write — 4 passes otherwise
             fresh = dedup_candidates(
                 candidates, seen, bloom if cfg.use_bloom else None
-            )
+            ).cache()
             assigned, n_new = assign_dense_seq(
-                fresh.drop("seq"), ["parent_seq", "child_index"], start=seq_next
+                fresh.drop("seq"), ["parent_seq", "child_index"], start=seq_next,
+                bounds=dq.seq_bounds,
             )
             new_rows = assigned.select(*_FRONTIER_COLS).cache()
             seq_next += n_new
+            tick("dedup_seq")
 
             seen_new = new_rows.filter(~F.col("dont_filter")).select(
                 "url_hash", "url", F.lit(round_no).alias("round_added")
@@ -286,6 +339,7 @@ class CrawlEngine:
                 bloom.add_many(
                     [r["url_hash"] for r in seen_new.select("url_hash").collect()]
                 )
+            tick("bloom")
 
             new_frontier = (
                 frontier.join(batch.select("seq"), "seq", "left_anti")
@@ -319,6 +373,7 @@ class CrawlEngine:
                 r["out_kind"]: r["cnt"]
                 for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
             }
+            tick("metrics_agg")
             n_resp = sum(r["responses_received"] for r in part_rows)
             n_retries = sum(r["retries"] for r in part_rows)
             n_items = parse_counts.get("item", 0)
@@ -341,6 +396,7 @@ class CrawlEngine:
                 F.lit(round_no).alias("round"), "seq", "url", "host"
             )
 
+            tick("pre_commit")
             self.ckpt.commit(
                 round_no=round_no,
                 vtime=vtime + cfg.round_seconds,
@@ -354,6 +410,7 @@ class CrawlEngine:
                 snapshots={"frontier": new_frontier, "host_state": dq.new_host_state},
                 bloom=bloom if cfg.use_bloom else None,
             )
+            tick("commit")
             vtime += cfg.round_seconds
 
             self.stats.rounds += 1
@@ -364,12 +421,14 @@ class CrawlEngine:
             self.stats.retries += n_retries
             self.stats.robots_denied += n_denied
             self.stats.per_round.append(
-                dict(round=round_no, batch=n_batch, new=n_new, elapsed_ms=elapsed_ms)
+                dict(round=round_no, batch=n_batch, new=n_new, elapsed_ms=elapsed_ms,
+                     timings=_t)
             )
             n_frontier = n_frontier - n_batch - n_denied + n_new
 
-            for df in (frontier, batch, denied, raw_fetched, fetched, parse_out, new_rows):
+            for df in (frontier, batch, denied, raw_fetched, fetched, parse_out, fresh, new_rows):
                 df.unpersist()
+            dq.release()
 
         robots.unpersist()
         self.stats.elapsed_s = perf_counter() - t0

@@ -138,15 +138,31 @@ HOST_STATE_SCHEMA = T.StructType(
     ]
 )
 
-# Parse output row before splitting into items vs new requests
-# (reference engine.py:200-210 isinstance routing).
+# Parse output: ONE row per fetched document (not per yielded value).
+# Child requests are packed into an array and exploded JVM-side — the
+# Arrow boundary carries 1 row/doc instead of 1 row/link (~40× fewer
+# rows through Python). Parent metadata (seq/depth/status/callback)
+# rides along so item/request routing downstream is pure projection —
+# no join back against the fetch results.
+CHILD_TYPE = T.StructType(
+    [
+        T.StructField("url", T.StringType()),  # canonical
+        T.StructField("host", T.StringType()),
+        T.StructField("idx", T.IntegerType()),  # yield order within parent
+    ]
+)
+
 PARSE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
-        T.StructField("out_kind", T.StringType(), False),  # 'item' | 'request'
+        T.StructField("out_kind", T.StringType(), False),  # 'item' | 'none' | 'error'
         T.StructField("spans", T.ArrayType(SPAN_TYPE)),
-        T.StructField("child_url", T.StringType()),
-        T.StructField("child_index", T.IntegerType()),
+        T.StructField("doc_id", T.StringType()),  # canonical final_url (items)
+        T.StructField("children", T.ArrayType(CHILD_TYPE)),
+        T.StructField("seq", T.LongType()),
+        T.StructField("depth", T.IntegerType()),
+        T.StructField("status", T.IntegerType()),
+        T.StructField("callback", T.StringType()),
         T.StructField("error", T.StringType()),
     ]
 )

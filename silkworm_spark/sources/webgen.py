@@ -99,7 +99,8 @@ def _text_for(i: int, j: int, seed: int, cyrillic: bool) -> str:
     return " ".join(words[(h >> (4 * k)) % len(words)] for k in range(3 + h % 4))
 
 
-def gen_page(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
+def gen_page(i: int, n_pages: int, n_hosts: int, seed: int,
+             min_spans: int = 3, span_spread: int = 6) -> dict:
     url = url_of(i, n_hosts, seed)
     host = host_name(host_id(i, n_hosts, seed))
     cls = _page_class(i, seed)
@@ -155,7 +156,7 @@ def gen_page(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
 
     charset = _charset(i, seed)
     cyr = charset == "windows-1251"
-    n_spans = 3 + _h(seed, i, 10) % 6
+    n_spans = min_spans + _h(seed, i, 10) % span_spread
     spans: list[dict] = []
     out_links: list[str] = []
     body_parts: list[str] = []
@@ -205,13 +206,14 @@ def gen_page(i: int, n_pages: int, n_hosts: int, seed: int) -> dict:
     )
 
 
-def gen_web_rows(n_pages: int, n_hosts: int, seed: int = 42) -> list[dict]:
-    return [gen_page(i, n_pages, n_hosts, seed) for i in range(n_pages)]
+def gen_web_rows(n_pages: int, n_hosts: int, seed: int = 42,
+                 min_spans: int = 3, span_spread: int = 6) -> list[dict]:
+    return [gen_page(i, n_pages, n_hosts, seed, min_spans, span_spread) for i in range(n_pages)]
 
 
 def build_web_df(
     spark: SparkSession, n_pages: int, n_hosts: int = 40, seed: int = 42,
-    partitions: int | None = None,
+    partitions: int | None = None, min_spans: int = 3, span_spread: int = 6,
 ) -> DataFrame:
     """Distributed generation: pure function of the row index, no
     driver-side materialization — scales to arbitrarily large webs."""
@@ -219,7 +221,7 @@ def build_web_df(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [gen_page(int(i), n_pages, n_hosts, seed) for i in pdf["id"]]
+            rows = [gen_page(int(i), n_pages, n_hosts, seed, min_spans, span_spread) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     return (
