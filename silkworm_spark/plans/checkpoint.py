@@ -29,11 +29,12 @@ from pyspark.sql.types import StructType
 from silkworm_spark import schemas
 from silkworm_spark.plans.bloom import BloomFilter
 
-_APPEND_TABLES = ("seen", "documents", "metrics", "fetch_log")
-_SNAPSHOT_TABLES = ("frontier", "host_state")
+_APPEND_TABLES = ("seen", "documents", "metrics", "fetch_log", "frontier_delta", "consumed")
+_SNAPSHOT_TABLES = ("host_state",)
 
 TABLE_SCHEMAS: dict[str, StructType] = {
-    "frontier": schemas.FRONTIER_SCHEMA,
+    "frontier_delta": schemas.FRONTIER_SCHEMA,
+    "consumed": StructType([T.StructField("seq", T.LongType(), False)]),
     "seen": schemas.SEEN_SCHEMA,
     "documents": schemas.DOCUMENTS_SCHEMA,
     "metrics": schemas.METRICS_SCHEMA,
@@ -50,9 +51,10 @@ TABLE_SCHEMAS: dict[str, StructType] = {
 
 
 class CrawlCheckpoint:
-    def __init__(self, spark: SparkSession, root: str) -> None:
+    def __init__(self, spark: SparkSession, root: str, compact_every: int = 8) -> None:
         self.spark = spark
         self.root = root
+        self.compact_every = compact_every
         os.makedirs(root, exist_ok=True)
         self.manifest: dict[str, Any] = {
             "round": -1,
@@ -81,6 +83,18 @@ class CrawlCheckpoint:
             return self.spark.createDataFrame([], TABLE_SCHEMAS[name])
         abs_paths = [os.path.join(self.root, p) for p in paths]
         return self.spark.read.schema(TABLE_SCHEMAS[name]).parquet(*abs_paths)
+
+    def read_frontier(self) -> DataFrame:
+        """The live frontier is merge-on-read: appended per-round deltas
+        (new enqueues) minus consumed seqs (fetched or robots-denied).
+        Per-round commit cost is O(round budget), never O(frontier) —
+        the property that keeps a 10^10-row frontier checkpointable.
+        Compaction (in ``commit``) bounds the read-side anti-join."""
+        deltas = self.read("frontier_delta")
+        consumed = self.read("consumed")
+        if not self.manifest["tables"].get("consumed"):
+            return deltas
+        return deltas.join(consumed, "seq", "left_anti")
 
     def load_bloom(self, n_bits: int, k: int) -> BloomFilter:
         if self.manifest.get("bloom"):
@@ -136,6 +150,22 @@ class CrawlCheckpoint:
             for f in sfuts:
                 name, rel = f.result()
                 new_manifest["tables"][name] = [rel]
+
+        # merge-on-read compaction: once enough deltas accumulate, fold
+        # deltas ⊖ consumed into one base so the read-side anti-join
+        # stays bounded. Still atomic — the compacted base is written
+        # before the manifest flips to it; old dirs become inert.
+        if len(new_manifest["tables"].get("frontier_delta", [])) >= self.compact_every:
+            dpaths = [os.path.join(self.root, p) for p in new_manifest["tables"]["frontier_delta"]]
+            live = self.spark.read.schema(TABLE_SCHEMAS["frontier_delta"]).parquet(*dpaths)
+            cpaths = [os.path.join(self.root, p) for p in new_manifest["tables"].get("consumed", [])]
+            if cpaths:
+                consumed = self.spark.read.schema(TABLE_SCHEMAS["consumed"]).parquet(*cpaths)
+                live = live.join(consumed, "seq", "left_anti")
+            base_rel = os.path.join(rdir, "frontier_base")
+            live.write.mode("overwrite").parquet(os.path.join(self.root, base_rel))
+            new_manifest["tables"]["frontier_delta"] = [base_rel]
+            new_manifest["tables"]["consumed"] = []
         if bloom is not None:
             rel = os.path.join(rdir, "bloom.npz")
             bloom.save(os.path.join(self.root, rel))

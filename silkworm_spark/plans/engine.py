@@ -144,9 +144,8 @@ class CrawlEngine:
         robots.write.mode("overwrite").parquet(f"{self.ckpt.root}/robots")
         self.ckpt.commit(
             round_no=0, vtime=0.0, seq_next=n,
-            appends={"seen": seen},
+            appends={"seen": seen, "frontier_delta": frontier},
             snapshots={
-                "frontier": frontier,
                 "host_state": self.spark.createDataFrame([], HOST_STATE_SCHEMA),
             },
             bloom=bloom,
@@ -190,7 +189,7 @@ class CrawlEngine:
         # max_rounds bounds the *crawl*, not this run() call — a resumed
         # crawl continues to the same global bound (exact-resume contract)
         while round_no < cfg.max_rounds:
-            frontier = self.ckpt.read("frontier").cache()
+            frontier = self.ckpt.read_frontier().cache()
             if n_frontier is None:
                 n_frontier = frontier.count()
             if n_frontier == 0:
@@ -341,12 +340,11 @@ class CrawlEngine:
                 )
             tick("bloom")
 
-            new_frontier = (
-                frontier.join(batch.select("seq"), "seq", "left_anti")
-                .join(denied.select("seq"), "seq", "left_anti")
-                .select(*_FRONTIER_COLS)
-                .unionByName(new_rows)
-            )
+            # frontier update is delta-only: append the new enqueues and
+            # the consumed seqs (fetched + denied); the checkpoint's
+            # merge-on-read + compaction reconstruct the live frontier.
+            # Commit cost is O(round budget), never O(frontier).
+            consumed = batch.select("seq").unionByName(denied.select("seq"))
 
             # ---- metrics: per-partition lineage (north rule) ----
             # one collected agg supplies both the per-partition rows and
@@ -406,8 +404,10 @@ class CrawlEngine:
                     "documents": documents,
                     "metrics": part_metrics,
                     "fetch_log": fetch_log,
+                    "frontier_delta": new_rows,
+                    "consumed": consumed,
                 },
-                snapshots={"frontier": new_frontier, "host_state": dq.new_host_state},
+                snapshots={"host_state": dq.new_host_state},
                 bloom=bloom if cfg.use_bloom else None,
             )
             tick("commit")

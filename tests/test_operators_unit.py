@@ -1,0 +1,219 @@
+"""Unit tests for individual operators (reference parity notes inline)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from silkworm_spark.operators.dedup import dedup_candidates, first_wins_intra_round
+from silkworm_spark.operators.order import assign_dense_seq
+from silkworm_spark.operators.retry import split_retries
+from silkworm_spark.operators.scheduler import dequeue_round
+from silkworm_spark.plans.bloom import BloomFilter
+from silkworm_spark.schemas import FRONTIER_SCHEMA, HOST_STATE_SCHEMA, ROBOTS_SCHEMA, SEEN_SCHEMA
+
+
+def _frontier_row(url, seq, host="h0", priority=0, dont_filter=False,
+                  retry_times=0, not_before=0.0, parent_seq=-1, child_index=0):
+    return dict(url=url, url_hash=hash(url) % (1 << 40), host=host, depth=0,
+                parent_seq=parent_seq, child_index=child_index, seq=seq,
+                callback="parse", priority=priority, dont_filter=dont_filter,
+                retry_times=retry_times, not_before=not_before, round_added=0)
+
+
+# ---- bloom filter ----
+
+def test_bloom_no_false_negatives_and_low_fp():
+    bf = BloomFilter(n_bits=1 << 16, k=7)
+    added = np.arange(1000, dtype=np.int64) * 7919 - 500
+    bf.add_many(added)
+    assert bf.contains_many(added).all()  # no false negatives, ever
+    probe = np.arange(100_000, 120_000, dtype=np.int64) * 104729
+    fp = bf.contains_many(probe).mean()
+    assert fp < 0.05
+
+
+def test_bloom_save_load_roundtrip(tmp_path):
+    bf = BloomFilter(n_bits=1 << 12, k=5)
+    bf.add_many(np.array([1, 2, 3], dtype=np.int64))
+    p = str(tmp_path / "b.npz")
+    bf.save(p)
+    bf2 = BloomFilter.load(p)
+    assert (bf2.bits == bf.bits).all() and bf2.k == bf.k and bf2.count == 3
+
+
+# ---- dense seq ----
+
+def test_assign_dense_seq_orders_and_is_dense(spark):
+    rows = [dict(parent_seq=p, child_index=c, payload=f"{p}:{c}")
+            for p in (5, 1, 9) for c in (2, 0, 1)]
+    df = spark.createDataFrame(rows)
+    out, n = assign_dense_seq(df, ["parent_seq", "child_index"], start=100)
+    got = {(r["parent_seq"], r["child_index"]): r["seq"] for r in out.collect()}
+    want_order = sorted(got)
+    assert n == 9
+    assert [got[k] for k in want_order] == list(range(100, 109))
+
+
+def test_assign_dense_seq_degenerate_lead(spark):
+    # all parent_seq equal (the seed case) — must still bucket/number
+    rows = [dict(parent_seq=-1, child_index=c) for c in range(50)]
+    out, n = assign_dense_seq(spark.createDataFrame(rows), ["parent_seq", "child_index"], start=0)
+    got = sorted((r["child_index"], r["seq"]) for r in out.collect())
+    assert n == 50 and [s for _, s in got] == list(range(50))
+
+
+def test_assign_dense_seq_empty(spark):
+    df = spark.createDataFrame([], "parent_seq long, child_index int")
+    out, n = assign_dense_seq(df, ["parent_seq", "child_index"], start=7)
+    assert n == 0 and out.count() == 0
+
+
+# ---- dedup ----
+
+def test_first_wins_and_seen_bypass(spark):
+    # reference engine.py:99-106: first occurrence wins; dont_filter
+    # rows bypass both the check and the insert
+    cand = spark.createDataFrame([
+        _frontier_row("http://a/1", -1, parent_seq=2, child_index=1),
+        _frontier_row("http://a/1", -1, parent_seq=1, child_index=3),  # first
+        _frontier_row("http://a/2", -1, parent_seq=3, child_index=0, dont_filter=True),
+        _frontier_row("http://a/3", -1, parent_seq=4, child_index=0),
+    ], FRONTIER_SCHEMA)
+    seen = spark.createDataFrame(
+        [dict(url_hash=_frontier_row("http://a/3", 0)["url_hash"], url="http://a/3", round_added=0),
+         dict(url_hash=_frontier_row("http://a/2", 0)["url_hash"], url="http://a/2", round_added=0)],
+        SEEN_SCHEMA,
+    )
+    out = dedup_candidates(cand, seen).collect()
+    got = sorted((r["url"], r["parent_seq"]) for r in out)
+    # a/1: first occurrence (parent_seq=1); a/2: bypasses seen via dont_filter; a/3: dropped
+    assert got == [("http://a/1", 1), ("http://a/2", 3)]
+
+
+def test_dedup_with_bloom_equals_exact(spark):
+    urls = [f"http://h/{i}" for i in range(200)]
+    cand = spark.createDataFrame(
+        [_frontier_row(u, -1, parent_seq=i, child_index=0) for i, u in enumerate(urls)],
+        FRONTIER_SCHEMA,
+    )
+    seen_rows = [dict(url_hash=_frontier_row(u, 0)["url_hash"], url=u, round_added=0)
+                 for u in urls[:100]]
+    seen = spark.createDataFrame(seen_rows, SEEN_SCHEMA)
+    bloom = BloomFilter(n_bits=1 << 14, k=7)
+    bloom.add_many(np.array([r["url_hash"] for r in seen_rows], dtype=np.int64))
+    exact = sorted(r["url"] for r in dedup_candidates(cand, seen).collect())
+    with_bloom = sorted(r["url"] for r in dedup_candidates(cand, seen, bloom).collect())
+    assert exact == with_bloom == sorted(urls[100:])
+
+
+# ---- retry ----
+
+def test_split_retries_codes_backoff_and_exhaustion(spark):
+    rows = [
+        dict(_frontier_row("http://h/ok", 1), final_url="http://h/ok", status=200,
+             redirect_times=0, error=None, part=0),
+        dict(_frontier_row("http://h/503", 2), final_url="http://h/503", status=503,
+             redirect_times=0, error=None, part=0),
+        dict(_frontier_row("http://h/503x", 3, retry_times=3), final_url="http://h/503x",
+             status=503, redirect_times=0, error=None, part=0),
+        dict(_frontier_row("http://h/404", 4), final_url="http://h/404", status=404,
+             redirect_times=0, error=None, part=0),
+        dict(_frontier_row("http://h/err", 5), final_url=None, status=None,
+             redirect_times=0, error="fetch_error", part=0),
+    ]
+    from pyspark.sql import types as T
+
+    # note: StructType.add() mutates in place — never call it on the
+    # shared schema constants
+    schema = T.StructType(
+        FRONTIER_SCHEMA.fields
+        + [
+            T.StructField("final_url", T.StringType()),
+            T.StructField("status", T.IntegerType()),
+            T.StructField("redirect_times", T.IntegerType()),
+            T.StructField("error", T.StringType()),
+            T.StructField("part", T.IntegerType()),
+        ]
+    )
+    fetched = spark.createDataFrame(
+        [tuple(r[f.name] for f in schema.fields) for r in rows], schema
+    )
+    ok, retries, gave_up = split_retries(fetched, vtime=10.0, max_times=3, backoff_base=0.5)
+    r = retries.collect()
+    assert [x["url"] for x in r] == ["http://h/503"]
+    # reference middlewares.py:137-141: dont_filter, times+1, base*2^(n-1)
+    assert r[0]["dont_filter"] and r[0]["retry_times"] == 1
+    assert r[0]["not_before"] == 10.5 and r[0]["parent_seq"] == 2
+    assert [x["url"] for x in gave_up.collect()] == ["http://h/503x"]
+    assert sorted(x["url"] for x in ok.collect()) == [
+        "http://h/404", "http://h/err", "http://h/ok"]
+
+
+# ---- scheduler ----
+
+def _dequeue(spark, frontier_rows, robots_rows, host_rows, vtime=0.0, **kw):
+    frontier = spark.createDataFrame(frontier_rows, FRONTIER_SCHEMA)
+    robots = spark.createDataFrame(robots_rows, ROBOTS_SCHEMA)
+    hs = spark.createDataFrame(host_rows, HOST_STATE_SCHEMA)
+    return dequeue_round(frontier, robots, hs, vtime, **kw)
+
+
+def test_dequeue_priority_then_fifo(spark):
+    rows = [
+        _frontier_row("http://h0/a", 1, priority=0),
+        _frontier_row("http://h0/b", 2, priority=5),
+        _frontier_row("http://h0/c", 3, priority=5),
+    ]
+    dq = _dequeue(spark, rows, [], [], per_host_cap=2)
+    got = [r["url"] for r in dq.batch.orderBy("seq").collect()]
+    # priority desc first (request.py:25 activated), FIFO within a class
+    assert sorted(got) == ["http://h0/b", "http://h0/c"]
+    dq.release()
+
+
+def test_dequeue_robots_disallow_and_budget(spark):
+    rows = [
+        _frontier_row("http://h0/private/x", 1),
+        _frontier_row("http://h0/p/1", 2),
+        _frontier_row("http://h0/p/2", 3),
+        _frontier_row("http://h0/p/3", 4),
+    ]
+    robots = [dict(host="h0", disallow_prefixes=["/private"], crawl_delay_ms=None, fetch_budget=2)]
+    dq = _dequeue(spark, rows, robots, [])
+    assert [r["url"] for r in dq.denied.collect()] == ["http://h0/private/x"]
+    assert sorted(r["url"] for r in dq.batch.collect()) == ["http://h0/p/1", "http://h0/p/2"]
+    dq.release()
+
+
+def test_dequeue_crawl_delay_caps_per_round(spark):
+    rows = [_frontier_row(f"http://h0/{i}", i) for i in range(10)]
+    robots = [dict(host="h0", disallow_prefixes=[], crawl_delay_ms=250, fetch_budget=None)]
+    dq = _dequeue(spark, rows, robots, [], vtime=0.0, round_seconds=1.0)
+    assert dq.batch.count() == 4  # floor(1.0 / 0.25)
+    st = {r["host"]: r for r in dq.new_host_state.collect()}
+    assert st["h0"]["fetched"] == 4 and abs(st["h0"]["next_free"] - 1.0) < 1e-9
+    dq.release()
+
+
+def test_dequeue_not_before_gates_eligibility(spark):
+    rows = [
+        _frontier_row("http://h0/now", 1, not_before=0.0),
+        _frontier_row("http://h0/later", 2, not_before=5.0),
+    ]
+    dq = _dequeue(spark, rows, [], [], vtime=0.0)
+    assert [r["url"] for r in dq.batch.collect()] == ["http://h0/now"]
+    dq.release()
+    dq2 = _dequeue(spark, rows, [], [], vtime=5.0)
+    assert dq2.batch.count() == 2
+    dq2.release()
+
+
+def test_dequeue_budget_threshold_exact(spark):
+    rows = [_frontier_row(f"http://h{i%4}/{i}", i, host=f"h{i%4}") for i in range(50)]
+    dq = _dequeue(spark, rows, [], [], round_budget=20)
+    got = sorted(r["seq"] for r in dq.batch.collect())
+    assert got == list(range(20))  # FIFO by seq, exactly budget rows
+    assert dq.n_batch == 20
+    dq.release()
