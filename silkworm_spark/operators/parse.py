@@ -134,13 +134,16 @@ _LOC_RE = re.compile(r"<loc>\s*([^<\s]+)\s*</loc>")
 
 
 def parse_sitemap(row: dict) -> Iterator[dict]:
-    """Sitemap XML → child requests per <loc>, recursing into
-    sub-sitemaps (reference examples/sitemap_spider.py:120-214)."""
+    """Sitemap XML → child requests per <loc>: sub-sitemaps (.xml)
+    recurse into this callback, page URLs go to the default parser
+    (reference examples/sitemap_spider.py:120-214)."""
     if row["status"] != 200:
         return
     text, _enc = decode_body(row["body"], row["content_type"])
     for k, m in enumerate(_LOC_RE.finditer(text)):
-        yield dict(out_kind="request", spans=None, child_url=m.group(1), child_index=k)
+        loc = m.group(1)
+        cb = "parse_sitemap" if loc.rstrip("/").endswith(".xml") else "parse"
+        yield dict(out_kind="request", spans=None, child_url=loc, child_index=k, callback=cb)
 
 
 def parse_noop(row: dict) -> Iterator[dict]:
@@ -192,7 +195,10 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                             base["doc_id"] = canonicalize_url(row["final_url"] or row["url"])
                         elif o["out_kind"] == "request" and o["child_url"]:
                             cu = canonicalize_url(o["child_url"])
-                            children.append(dict(url=cu, host=host_of(cu), idx=o["child_index"]))
+                            children.append(dict(
+                                url=cu, host=host_of(cu), idx=o["child_index"],
+                                cb=o.get("callback"),  # NULL ⇒ inherit parent's
+                            ))
                     if children:
                         base["children"] = children
                     if base["out_kind"] != "none" or children:

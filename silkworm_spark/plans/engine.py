@@ -64,6 +64,7 @@ class CrawlConfig:
     target_rows_per_partition: int = 1000  # salt granularity per host
     min_rows_per_partition: int = 64  # floor before shrinking task width
     max_depth: int | None = None
+    html_max_bytes: int = 5_000_000  # parse cap (reference engine.py:37)
 
 
 @dataclass
@@ -117,12 +118,19 @@ class CrawlEngine:
         from silkworm_spark.operators.dedup import first_wins_intra_round
 
         s = first_wins_intra_round(s)
+        # start_requests() may set a per-seed callback (reference
+        # spiders.py:59-61 override); default is the spider's parse
+        cb = (
+            F.coalesce(F.col("callback"), F.lit("parse"))
+            if "callback" in seeds.columns
+            else F.lit("parse")
+        )
         frontier = s.select(
             "url", "url_hash", "host",
             F.lit(0).alias("depth"),
             "parent_seq", "child_index",
             F.col("seq").cast("long").alias("seq"),
-            F.lit("parse").alias("callback"),
+            cb.alias("callback"),
             F.col("priority").cast("int").alias("priority"),
             F.lit(False).alias("dont_filter"),
             F.lit(0).alias("retry_times"),
@@ -272,6 +280,9 @@ class CrawlEngine:
                 ~F.coalesce(F.col("status").isin(RETRY_HTTP_CODES), F.lit(False))
                 & F.col("error").isNull()
                 & F.col("status").isNotNull()
+                # parser cost guard (reference html_max_size_bytes,
+                # engine.py:37, response.py:314)
+                & (F.length("body") <= cfg.html_max_bytes)
             )
             parse_out = run_parse_stage(
                 raw_fetched.filter(parseable).repartition(nparts, "url")
@@ -300,7 +311,9 @@ class CrawlEngine:
                     "parent_seq",
                     (F.col("c.idx") + 1).alias("child_index"),
                     F.lit(-1).cast("long").alias("seq"),
-                    F.coalesce(F.col("callback"), F.lit("parse")).alias("callback"),
+                    # explicit child callback wins; else inherit the parent's
+                    # (reference response.follow, response.py:271-284)
+                    F.coalesce(F.col("c.cb"), F.col("callback"), F.lit("parse")).alias("callback"),
                     F.lit(0).alias("priority"),
                     F.lit(False).alias("dont_filter"),
                     F.lit(0).alias("retry_times"),

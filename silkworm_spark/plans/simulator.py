@@ -40,6 +40,7 @@ class SimConfig:
     backoff_base: float = 0.5
     max_redirects: int = 10
     max_depth: int | None = None
+    html_max_bytes: int = 5_000_000
 
 
 @dataclass
@@ -102,7 +103,8 @@ def simulate(
         res.seen.add(url)
         frontier.append(dict(
             url=url, host=host_of(url), depth=0, parent_seq=-1,
-            child_index=int(s["seq"]), seq=seq_next, callback="parse",
+            child_index=int(s["seq"]), seq=seq_next,
+            callback=s.get("callback") or "parse",
             priority=int(s["priority"]), dont_filter=False, retry_times=0,
             not_before=0.0,
         ))
@@ -192,6 +194,23 @@ def simulate(
                 continue
             if r["callback"] == "noop":
                 continue
+            if len(f["body"] or b"") > cfg.html_max_bytes:
+                continue
+            if r["callback"] == "parse_sitemap":
+                from silkworm_spark.operators.parse import parse_sitemap
+
+                row = dict(url=r["url"], final_url=f["final_url"], status=status,
+                           content_type=f["content_type"], body=f["body"],
+                           callback="parse_sitemap")
+                for o in parse_sitemap(row):
+                    child = canonicalize_url(o["child_url"])
+                    candidates.append(dict(
+                        url=child, host=host_of(child), depth=r["depth"] + 1,
+                        parent_seq=r["seq"], child_index=o["child_index"] + 1,
+                        callback=o.get("callback") or "parse", priority=0,
+                        dont_filter=False, retry_times=0, not_before=0.0,
+                    ))
+                continue
             if status == 200 and is_html(f["body"], f["content_type"]):
                 text, _ = decode_body(f["body"], f["content_type"])
                 spans = extract_spans(text, f["final_url"])
@@ -209,7 +228,7 @@ def simulate(
                         candidates.append(dict(
                             url=child, host=host_of(child), depth=r["depth"] + 1,
                             parent_seq=r["seq"], child_index=k + 1,
-                            callback="parse", priority=0, dont_filter=False,
+                            callback=r["callback"], priority=0, dont_filter=False,
                             retry_times=0, not_before=0.0,
                         ))
                         k += 1

@@ -149,6 +149,7 @@ CHILD_TYPE = T.StructType(
         T.StructField("url", T.StringType()),  # canonical
         T.StructField("host", T.StringType()),
         T.StructField("idx", T.IntegerType()),  # yield order within parent
+        T.StructField("cb", T.StringType()),  # explicit callback; NULL = inherit
     ]
 )
 
