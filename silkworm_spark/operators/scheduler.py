@@ -104,8 +104,13 @@ def dequeue_round(
             ),
         }
     )
+    # slots at next_free + m*delay for m=0,1,.. while < window_end →
+    # ceil((window_end - next_free)/delay). ceil (not floor): a host with
+    # delay > round_seconds still gets ≥1 slot whenever next_free <
+    # window_end, otherwise it would never be dequeued at all (the
+    # reference DelayMiddleware fetches every request, just slowly).
     cap_polite = F.when(F.col("_delay_s") <= 0, F.lit(_INF)).otherwise(
-        F.floor((F.lit(window_end) - F.col("_next_free")) / F.col("_delay_s")).cast("int")
+        F.ceil((F.lit(window_end) - F.col("_next_free")) / F.col("_delay_s")).cast("int")
     )
     cap = F.greatest(
         F.least(cap_polite, (F.col("_budget") - F.col("_fetched")).cast("int"), F.lit(per_host_cap)),

@@ -141,7 +141,10 @@ def simulate(
             budget = rb.get("fetch_budget")
             st = host_state.setdefault(host, dict(fetched=0, next_free=vtime))
             next_free = max(st["next_free"], vtime)
-            cap_polite = _INF if delay_s <= 0 else max(0, math.floor((window_end - next_free) / delay_s))
+            # ceil, not floor: a host with delay > round window still gets
+            # one slot per window once next_free < window_end (see
+            # operators/scheduler.py cap_polite)
+            cap_polite = _INF if delay_s <= 0 else max(0, math.ceil((window_end - next_free) / delay_s))
             cap_budget = _INF if budget is None else max(0, budget - st["fetched"])
             cap = min(cap_polite, cap_budget, cfg.per_host_cap)
             rows.sort(key=lambda r: (-r["priority"], r["seq"]))

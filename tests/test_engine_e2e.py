@@ -85,6 +85,29 @@ def test_e2e_with_robots_and_politeness(spark, small_web, tmp_path):
     _assert_invariants(engine, sim)
 
 
+def test_e2e_slow_host_drains(spark, tmp_path):
+    """crawl_delay_ms > round_seconds*1000 must NOT starve the host:
+    with ceil politeness each window grants ≥1 slot once next_free <
+    window_end, so the frontier drains (ADVICE r1: floor left such
+    hosts permanently unfetched)."""
+    from silkworm_spark.sources.webgen import build_seeds, gen_web_rows, host_name
+
+    n_pages, n_hosts = 60, 4
+    web = gen_web_rows(n_pages, n_hosts, seed=42)
+    robots = [
+        dict(host=host_name(k), disallow_prefixes=[],
+             crawl_delay_ms=2000, fetch_budget=None)
+        for k in range(n_hosts)
+    ]
+    tiny = dict(web=web, seeds=build_seeds(4, n_pages, n_hosts, seed=42), robots=robots)
+    cfg = dict(max_rounds=60, round_seconds=1.0)
+    engine, sim = _run_both(spark, tiny, tmp_path, cfg, with_robots=True)
+    # every unique reachable URL is eventually fetched (nothing starves)
+    assert len(sim.fetch_order) > len(tiny["seeds"])
+    assert engine.stats.requests_sent == len(sim.fetch_order)
+    _assert_invariants(engine, sim)
+
+
 def test_e2e_round_budget(spark, tmp_path):
     """Global round budget bounds each batch (the backpressure analog
     of the reference's concurrency*10 queue bound, engine.py:52-59)."""
