@@ -138,7 +138,8 @@ def crawl_throughput(cores: int) -> dict:
         rounds = [
             dict(round=r["round"], batch=r["batch"],
                  seconds=round(r["elapsed_ms"] / 1000, 2),
-                 parse_seconds=round(r["timings"].get("plan_parse", 0) / 1000, 2))
+                 parse_seconds=round(r["timings"].get("parse", 0) / 1000, 2),
+                 timings=r["timings"])
             for r in engine.stats.per_round
         ]
         # steady-state throughput = the best round (this sandbox's shared

@@ -25,6 +25,16 @@ from pyspark.sql.types import StringType
 
 _DEFAULT_PORTS = {"http": "80", "https": "443", "ftp": "21"}
 
+# Fast paths for the crawl's hot shapes (already-canonical absolute
+# http(s) URLs — the overwhelming majority of extracted links). Each
+# is exact: anything the pattern can't PROVE canonical falls through
+# to the general urllib path. urlsplit/urljoin are ~20 µs/call and the
+# parse stage calls them per link — they were >half its profile.
+import re as _re
+
+_CANON_FAST = _re.compile(r"^(https?)://([a-z0-9.\-]+)(/[^#]*)?$")
+_HOST_FAST = _re.compile(r"^https?://([a-z0-9.\-]+)(?:[/?#].*)?$")
+
 
 def canonicalize_url(url: str) -> str:
     """Canonical form: lowercase scheme/host, drop default port, drop
@@ -33,6 +43,9 @@ def canonicalize_url(url: str) -> str:
     raw-string keying)."""
     if not url:
         return url
+    m = _CANON_FAST.match(url)
+    if m:  # lowercase scheme+host, no port/userinfo/fragment already
+        return url if m.group(3) else url + "/"
     try:
         parts = urlsplit(url.strip())
     except ValueError:
@@ -48,6 +61,9 @@ def canonicalize_url(url: str) -> str:
 
 
 def host_of(url: str) -> str:
+    m = _HOST_FAST.match(url) if url else None
+    if m:
+        return m.group(1)
     try:
         return (urlsplit(url).hostname or "").lower()
     except ValueError:
@@ -58,7 +74,17 @@ def url_join(base: str, href: str) -> str | None:
     """Resolve ``href`` against ``base`` (reference response.py:132-133)."""
     if href is None:
         return None
-    return urljoin(base, href.strip())
+    h = href.strip()
+    # absolute http(s) href: urljoin returns it unchanged (no dot-segment
+    # removal is performed when the href carries a netloc)
+    if h.startswith("http://") or h.startswith("https://"):
+        return h
+    # root-relative with no dot segments (every "." or ".." path segment
+    # contains the substring "/."): scheme://netloc + href
+    if h.startswith("/") and not h.startswith("//") and "/." not in h:
+        i = base.find("/", base.find("://") + 3)
+        return (base[:i] if i != -1 else base) + h
+    return urljoin(base, h)
 
 
 def merge_params(url: str, params: dict[str, str] | None) -> str:

@@ -8,37 +8,50 @@ winning — `dropDuplicates` alone would pick an arbitrary survivor, so
 the intra-round step is an explicit first-wins window over the order
 key ``(parent_seq, child_index)``.
 
-Scale path: a driver-held bloom filter over canonical-URL xxhash64
+Scale path: a sharded bloom filter over canonical-URL xxhash64
 pre-filters candidates before the exact anti-join — definitely-unseen
 rows skip the join entirely; only "maybe seen" rows (true dupes +
 ~fp-rate) shuffle against the seen table. The filter is incrementally
-maintained and serialized with each checkpoint (see plans/bloom.py).
+maintained executor-side and serialized with each checkpoint (see
+plans/bloom.py).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from silkworm_spark.plans.bloom import BloomFilter, bloom_partition_col
+from silkworm_spark.plans.bloom import ShardedBloom
 
 
 def first_wins_intra_round(candidates: DataFrame) -> DataFrame:
     """Keep the first occurrence of each URL within the round, by
     FIFO enqueue order (reference gets this free from enqueue-time
-    insert into the in-memory set)."""
-    w = Window.partitionBy("url_hash", "url").orderBy("parent_seq", "child_index")
+    insert into the in-memory set).
+
+    Implemented as ``min_by`` over the (parent_seq, child_index) order
+    key — a hash aggregation with map-side partial combine, so
+    duplicate URLs (the common case in a link graph) collapse *before*
+    the shuffle. The row_number-window formulation shuffles and sorts
+    every candidate; this shuffles one row per distinct URL."""
+    cols = candidates.columns
+    others = [c for c in cols if c not in ("url_hash", "url")]
     return (
-        candidates.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        candidates.groupBy("url_hash", "url")
+        .agg(
+            F.min_by(
+                F.struct(*others), F.struct("parent_seq", "child_index")
+            ).alias("_r")
+        )
+        .select("url_hash", "url", *[F.col(f"_r.{c}").alias(c) for c in others])
+        .select(*cols)
     )
 
 
 def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: BloomFilter | None = None,
+    bloom: ShardedBloom | None = None,
 ) -> DataFrame:
     """Candidates (with url, url_hash, dont_filter, parent_seq,
     child_index) → rows to actually enqueue.
@@ -51,8 +64,9 @@ def dedup_candidates(
     checked = first_wins_intra_round(candidates.filter(~F.col("dont_filter")))
 
     if bloom is not None and not bloom.is_empty:
-        maybe = checked.filter(bloom_partition_col(bloom, "url_hash"))
-        definitely_new = checked.filter(~bloom_partition_col(bloom, "url_hash"))
+        probe = bloom.probe_col(candidates, "url_hash")
+        maybe = checked.filter(probe)
+        definitely_new = checked.filter(~probe)
         fresh = maybe.join(
             seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
         ).unionByName(definitely_new)

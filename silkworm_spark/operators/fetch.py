@@ -185,7 +185,12 @@ def resolve_web(web: DataFrame, max_redirects: int = 10) -> DataFrame:
     return out
 
 
-def offline_fetch_resolved(batch: DataFrame, resolved: DataFrame) -> DataFrame:
+def offline_fetch_resolved(
+    batch: DataFrame,
+    resolved: DataFrame,
+    n_batch: int | None = None,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
     """Per-round fetch against the precomputed resolution table: one
     equi-join, then the retryable-status rule
     (status=200 once retry_times >= attempts_until_ok)."""
@@ -200,8 +205,15 @@ def offline_fetch_resolved(batch: DataFrame, resolved: DataFrame) -> DataFrame:
     # sized ever shuffles or builds on the driver. An outer join can't
     # do this (only the non-preserved side may be broadcast), so the
     # missing-URL path (a dead link — never occurs in generated webs)
-    # is a separate keys-only anti-join.
-    matched = r.join(F.broadcast(batch), batch.url == r.r_url, "inner")
+    # is a separate keys-only anti-join. The broadcast is size-GATED:
+    # beyond broadcast_max_rows a multi-GB round batch would be shipped
+    # to every executor, so it falls back to a shuffle-hash join.
+    b = (
+        F.broadcast(batch)
+        if n_batch is None or n_batch <= broadcast_max_rows
+        else batch.hint("SHUFFLE_HASH")
+    )
+    matched = r.join(b, batch.url == r.r_url, "inner")
     eff_status = F.when(
         (F.col("attempts_until_ok") > 0)
         & (F.col("retry_times") >= F.col("attempts_until_ok"))

@@ -23,14 +23,15 @@ import os
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from silkworm_spark import schemas
-from silkworm_spark.plans.bloom import BloomFilter
+from silkworm_spark.plans.bloom import ShardedBloom
 
 _APPEND_TABLES = ("seen", "documents", "metrics", "fetch_log", "frontier_delta", "consumed")
-_SNAPSHOT_TABLES = ("host_state",)
+_SNAPSHOT_TABLES = ("host_state", "robots")
 
 TABLE_SCHEMAS: dict[str, StructType] = {
     "frontier_delta": schemas.FRONTIER_SCHEMA,
@@ -39,6 +40,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "documents": schemas.DOCUMENTS_SCHEMA,
     "metrics": schemas.METRICS_SCHEMA,
     "host_state": schemas.HOST_STATE_SCHEMA,
+    "robots": schemas.ROBOTS_SCHEMA,
     "fetch_log": StructType(
         [
             T.StructField("round", T.IntegerType()),
@@ -48,6 +50,53 @@ TABLE_SCHEMAS: dict[str, StructType] = {
         ]
     ),
 }
+
+
+def _empty_df(spark: SparkSession, schema: StructType) -> DataFrame:
+    """Empty DataFrame built JVM-side. ``createDataFrame([], schema)``
+    parallelizes through defaultParallelism PICKLED python partitions —
+    every scan of it launches a python worker per partition (~0.1-0.2 s
+    each), a real per-round cost when empty tables join the plan."""
+    return spark.range(0).select(
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+    )
+
+
+def _pa_schema(schema: StructType):
+    """pyarrow schema for a flat Spark StructType (driver-local tables)."""
+    import pyarrow as pa
+
+    _MAP = {
+        "bigint": pa.int64(), "int": pa.int32(), "double": pa.float64(),
+        "float": pa.float32(), "string": pa.string(), "boolean": pa.bool_(),
+        "binary": pa.binary(),
+    }
+
+    def conv(dt):
+        s = dt.simpleString()
+        if s.startswith("array<"):
+            return pa.list_(conv(dt.elementType))
+        return _MAP[s]
+
+    return pa.schema([(f.name, conv(f.dataType)) for f in schema.fields])
+
+
+def write_driver_table(path: str, rows: list[tuple], schema: StructType) -> None:
+    """Write a driver-local row list straight to parquet with pyarrow —
+    no Spark job at all. Round metrics are a few dozen rows the driver
+    already holds; shipping them through createDataFrame→python
+    partitions→task cost ~3 s/round (the largest single fixed cost
+    found while chasing the r1 N→4N scaling miss)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pa_schema = _pa_schema(schema)
+    cols = list(zip(*rows)) if rows else [[] for _ in schema.fields]
+    table = pa.table(
+        {f.name: list(c) for f, c in zip(schema.fields, cols)}, schema=pa_schema
+    )
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
 class CrawlCheckpoint:
@@ -80,7 +129,7 @@ class CrawlCheckpoint:
     def read(self, name: str) -> DataFrame:
         paths = self.manifest["tables"].get(name, [])
         if not paths:
-            return self.spark.createDataFrame([], TABLE_SCHEMAS[name])
+            return _empty_df(self.spark, TABLE_SCHEMAS[name])
         abs_paths = [os.path.join(self.root, p) for p in paths]
         return self.spark.read.schema(TABLE_SCHEMAS[name]).parquet(*abs_paths)
 
@@ -96,10 +145,10 @@ class CrawlCheckpoint:
             return deltas
         return deltas.join(consumed, "seq", "left_anti")
 
-    def load_bloom(self, n_bits: int, k: int) -> BloomFilter:
+    def load_bloom(self, n_shards: int, bits_per_shard: int, k: int) -> ShardedBloom:
         if self.manifest.get("bloom"):
-            return BloomFilter.load(os.path.join(self.root, self.manifest["bloom"]))
-        return BloomFilter(n_bits=n_bits, k=k)
+            return ShardedBloom.load(os.path.join(self.root, self.manifest["bloom"]))
+        return ShardedBloom(n_shards=n_shards, bits_per_shard=bits_per_shard, k=k)
 
     def commit(
         self,
@@ -108,13 +157,25 @@ class CrawlCheckpoint:
         seq_next: int,
         appends: dict[str, DataFrame],
         snapshots: dict[str, DataFrame],
-        bloom: BloomFilter | None = None,
+        bloom: ShardedBloom | None = None,
+        bloom_update: DataFrame | None = None,
+        known_counts: dict[str, int] | None = None,
+        extras: dict[str, Any] | None = None,
+        driver_appends: dict[str, list[tuple]] | None = None,
     ) -> None:
         """Write this round's data, then atomically publish the manifest.
 
         A crash before the rename leaves the previous manifest intact →
         the next run resumes from the prior round exactly; orphan round
         directories are inert.
+
+        ``known_counts`` lets the engine skip empty-table writes without
+        the per-table ``isEmpty()`` job round 1 paid (6 driver jobs per
+        round). ``bloom_update`` runs the executor-side sharded bloom
+        merge inside the same thread pool as the writes, so it adds no
+        sequential latency; the updated bits land in this commit.
+        ``extras`` are engine scalars (seq_floor, uniform_priority)
+        published atomically with everything else.
         """
         import concurrent.futures as cf
 
@@ -123,33 +184,95 @@ class CrawlCheckpoint:
         new_manifest["round"] = round_no
         new_manifest["vtime"] = vtime
         new_manifest["seq_next"] = seq_next
+        if extras:
+            new_manifest.update(extras)
 
         # all table writes run as concurrent Spark jobs (separate driver
         # threads); the manifest publishes only after every write lands,
         # so atomicity is unchanged — commit wall time ≈ the largest
         # single write instead of the sum
         def write_append(name: str, df: DataFrame) -> tuple[str, str | None]:
-            if df is None or df.isEmpty():
+            n = (known_counts or {}).get(name)
+            if df is None or n == 0 or (n is None and df.isEmpty()):
                 return name, None
             rel = os.path.join(rdir, name)
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             return name, rel
+
+        def write_packed(tables: dict[str, DataFrame]) -> list[tuple[str, str]]:
+            """All small append tables land in ONE write job partitioned
+            by a `table` column (row-group columns = union of schemas;
+            readers prune back to each table's declared schema). One
+            round-1 lesson: per-table jobs cost ~0.3-0.7 s of launch
+            latency each — at 6 tables that fixed cost dominated small
+            rounds and killed N→4N scaling."""
+            cols: dict[str, T.DataType] = {}
+            for name in tables:
+                for fld in TABLE_SCHEMAS[name].fields:
+                    cols.setdefault(fld.name, fld.dataType)
+            packed = None
+            for name, df in tables.items():
+                have = set(df.columns)
+                sel = [
+                    (F.col(c) if c in have else F.lit(None)).cast(t).alias(c)
+                    for c, t in cols.items()
+                ]
+                part = df.select(*sel).withColumn("table", F.lit(name))
+                packed = part if packed is None else packed.unionByName(part)
+            packed.write.mode("overwrite").partitionBy("table").parquet(
+                os.path.join(self.root, rdir, "packed")
+            )
+            return [
+                (name, os.path.join(rdir, "packed", f"table={name}"))
+                for name in tables
+            ]
 
         def write_snapshot(name: str, df: DataFrame) -> tuple[str, str]:
             rel = os.path.join(rdir, name)
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             return name, rel
 
-        with cf.ThreadPoolExecutor(max_workers=len(appends) + len(snapshots) or 1) as pool:
-            afuts = [pool.submit(write_append, n, df) for n, df in appends.items()]
+        counts = known_counts or {}
+        small = {
+            n: df for n, df in appends.items()
+            if n != "documents" and df is not None and counts.get(n, 1) != 0
+        }
+        big = {n: df for n, df in appends.items() if n not in small}
+
+        # driver-local tables (round metrics): straight pyarrow writes,
+        # zero Spark jobs
+        for name, rows in (driver_appends or {}).items():
+            rel = os.path.join(rdir, name)
+            write_driver_table(
+                os.path.join(self.root, rel), rows, TABLE_SCHEMAS[name]
+            )
+            new_manifest["tables"].setdefault(name, []).append(rel)
+
+        n_tasks = len(big) + len(snapshots) + 2
+        with cf.ThreadPoolExecutor(max_workers=n_tasks) as pool:
+            bfut = (
+                pool.submit(bloom.update_from_df, bloom_update)
+                if bloom is not None and bloom_update is not None
+                else None
+            )
+            pfut = pool.submit(write_packed, small) if small else None
+            afuts = [pool.submit(write_append, n, df) for n, df in big.items()]
             sfuts = [pool.submit(write_snapshot, n, df) for n, df in snapshots.items()]
             for f in afuts:
                 name, rel = f.result()
                 if rel is not None:
                     new_manifest["tables"].setdefault(name, []).append(rel)
+            if pfut is not None:
+                for name, rel in pfut.result():
+                    # a table with unknown count that turned out empty
+                    # produces no partition dir — don't record it
+                    if os.path.isdir(os.path.join(self.root, rel)):
+                        new_manifest["tables"].setdefault(name, []).append(rel)
             for f in sfuts:
                 name, rel = f.result()
                 new_manifest["tables"][name] = [rel]
+            if bfut is not None:
+                bfut.result()
 
         # merge-on-read compaction: once enough deltas accumulate, fold
         # deltas ⊖ consumed into one base so the read-side anti-join
@@ -163,7 +286,13 @@ class CrawlCheckpoint:
                 consumed = self.spark.read.schema(TABLE_SCHEMAS["consumed"]).parquet(*cpaths)
                 live = live.join(consumed, "seq", "left_anti")
             base_rel = os.path.join(rdir, "frontier_base")
-            live.write.mode("overwrite").parquet(os.path.join(self.root, base_rel))
+            # range-layout by seq so post-compaction files keep disjoint
+            # seq ranges — the dequeue's seq-horizon filter then prunes
+            # whole files via parquet min/max stats, same as the
+            # per-round delta files it replaces
+            live.repartitionByRange("seq").write.mode("overwrite").parquet(
+                os.path.join(self.root, base_rel)
+            )
             new_manifest["tables"]["frontier_delta"] = [base_rel]
             new_manifest["tables"]["consumed"] = []
         if bloom is not None:

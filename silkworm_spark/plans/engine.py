@@ -17,6 +17,26 @@ becomes one *round* over the whole dequeued batch:
 ``seq`` is FIFO dequeue order as data (SURVEY.md §3.4), so the crawl
 reproduces the reference's concurrency=1 ordering exactly while
 executing wide.
+
+Driver-job discipline (the N→4N scaling fix, VERDICT r1): each round
+runs exactly FIVE sequential job launches —
+
+    J1 dequeue agg        (scored plan cached + every dequeue scalar)
+    J1b budget kth        (only when selection exceeds the budget)
+    J2 fetch metrics agg  (materializes the fetch caches + all
+                           per-partition request/response/retry/gave-up/
+                           oversize counts in one collect)
+    J3 parse counts       (materializes the parse cache; the heavy
+                           Python stage runs here)
+    J4 dedup bucket count (anti-join + bloom probe + seq numbering
+                           offsets in one pass)
+    commit                (all table writes + the executor-side bloom
+                           merge fan out in one thread pool)
+
+No ``.collect()`` of URL hashes, no per-table ``isEmpty()`` probes, no
+standalone ``count()`` jobs. Round 1 ran ~20 driver jobs/round; the
+~10-12 s of fixed per-round latency that cost was the reason measured
+N→4N efficiency stalled at 0.565.
 """
 
 from __future__ import annotations
@@ -36,9 +56,10 @@ from silkworm_spark.operators.fetch import (
 )
 from silkworm_spark.operators.order import assign_dense_seq
 from silkworm_spark.operators.parse import run_parse_stage
-from silkworm_spark.operators.retry import split_retries
+from silkworm_spark.operators.retry import RETRY_HTTP_CODES
 from silkworm_spark.operators.scheduler import dequeue_round
-from silkworm_spark.plans.checkpoint import CrawlCheckpoint
+from silkworm_spark.plans.bloom import ShardedBloom
+from silkworm_spark.plans.checkpoint import CrawlCheckpoint, _empty_df
 from silkworm_spark.schemas import HOST_STATE_SCHEMA, ROBOTS_SCHEMA
 
 _FRONTIER_COLS = [
@@ -58,13 +79,16 @@ class CrawlConfig:
     backoff_base: float = 0.5  # reference middlewares.py:104
     max_redirects: int = 10  # reference http.py:31
     use_bloom: bool = True
-    bloom_bits: int = 1 << 23
+    bloom_shards: int = 64  # scale: ~1 shard per seen-table partition
+    bloom_bits_per_shard: int = 1 << 17
     bloom_k: int = 7
     num_partitions: int | None = None
     target_rows_per_partition: int = 1000  # salt granularity per host
     min_rows_per_partition: int = 64  # floor before shrinking task width
     max_depth: int | None = None
     html_max_bytes: int = 5_000_000  # parse cap (reference engine.py:37)
+    horizon_factor: int = 4  # dequeue scans ~factor*budget seqs (see scheduler)
+    fetch_broadcast_max_rows: int = 2_000_000  # gate on the batch-side broadcast
 
 
 @dataclass
@@ -75,7 +99,9 @@ class CrawlStats:
     items_scraped: int = 0
     errors: int = 0
     retries: int = 0
+    gave_up: int = 0
     robots_denied: int = 0
+    dropped_oversize: int = 0
     elapsed_s: float = 0.0
     per_round: list = field(default_factory=list)
 
@@ -102,10 +128,19 @@ class CrawlEngine:
             raise ValueError("offline fetch mode requires a web fixture DataFrame")
         self.stats = CrawlStats()
 
+    def _load_bloom(self) -> ShardedBloom:
+        cfg = self.config
+        return self.ckpt.load_bloom(cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_k)
+
     # ---- seeding (reference open_spider, engine.py:79-86) ----
     def initialize(self, seeds: DataFrame, robots: DataFrame | None = None) -> None:
         cfg = self.config
-        bloom = self.ckpt.load_bloom(cfg.bloom_bits, cfg.bloom_k)
+        if self.ckpt.exists():
+            raise ValueError(
+                f"checkpoint already exists at {self.ckpt.root}; resume with "
+                "run() or point initialize() at a fresh directory"
+            )
+        bloom = self._load_bloom()
         s = (
             seeds.withColumn("url", canonicalize_udf("url"))
             .withColumn("url_hash", url_hash_col("url"))
@@ -141,27 +176,34 @@ class CrawlEngine:
             frontier.drop("seq"), ["parent_seq", "child_index"], start=0
         )
         frontier = assigned.select(*_FRONTIER_COLS).cache()
+        # one materialization + uniformity probe: children and retries
+        # always inherit priority, so all-zero seeds ⇒ uniform forever
+        # ⇒ the dequeue may use exact seq-horizon pruning
+        pr = frontier.agg(
+            F.min("priority").alias("mn"), F.max("priority").alias("mx")
+        ).first()
+        uniform = pr["mn"] is None or (pr["mn"] == 0 and pr["mx"] == 0)
         seen = frontier.filter(~F.col("dont_filter")).select(
             "url_hash", "url", F.lit(0).alias("round_added")
         )
-        bloom.add_many(
-            [r["url_hash"] for r in seen.select("url_hash").collect()]
-        )
         if robots is None:
-            robots = self.spark.createDataFrame([], ROBOTS_SCHEMA)
-        robots.write.mode("overwrite").parquet(f"{self.ckpt.root}/robots")
+            robots = _empty_df(self.spark, ROBOTS_SCHEMA)
         self.ckpt.commit(
             round_no=0, vtime=0.0, seq_next=n,
             appends={"seen": seen, "frontier_delta": frontier},
             snapshots={
-                "host_state": self.spark.createDataFrame([], HOST_STATE_SCHEMA),
+                "host_state": _empty_df(self.spark, HOST_STATE_SCHEMA),
+                "robots": robots,
             },
-            bloom=bloom,
+            bloom=bloom if cfg.use_bloom else None,
+            bloom_update=seen if cfg.use_bloom else None,
+            known_counts={"seen": n, "frontier_delta": n},
+            extras={"uniform_priority": uniform, "seq_floor": 0},
         )
         frontier.unpersist()
 
     def _robots(self) -> DataFrame:
-        return self.spark.read.schema(ROBOTS_SCHEMA).parquet(f"{self.ckpt.root}/robots")
+        return self.ckpt.read("robots")
 
     def _resolved_web(self, shared_path: str | None = None) -> DataFrame:
         """Redirect resolution, precomputed once per crawl and kept as
@@ -188,20 +230,21 @@ class CrawlEngine:
             else None
         )
         robots = self._robots().cache()
-        bloom = self.ckpt.load_bloom(cfg.bloom_bits, cfg.bloom_k)
+        bloom = self._load_bloom()
         vtime = float(self.ckpt.manifest["vtime"])
         seq_next = int(self.ckpt.manifest["seq_next"])
         round_no = int(self.ckpt.manifest["round"])
+        uniform_priority = bool(self.ckpt.manifest.get("uniform_priority", False))
+        seq_floor = int(self.ckpt.manifest.get("seq_floor", 0))
 
         n_frontier: int | None = None  # tracked incrementally after round 1
         # max_rounds bounds the *crawl*, not this run() call — a resumed
         # crawl continues to the same global bound (exact-resume contract)
         while round_no < cfg.max_rounds:
-            frontier = self.ckpt.read_frontier().cache()
+            frontier = self.ckpt.read_frontier()
             if n_frontier is None:
                 n_frontier = frontier.count()
             if n_frontier == 0:
-                frontier.unpersist()
                 break  # queue.join() returned (engine.py:354)
             host_state = self.ckpt.read("host_state")
 
@@ -214,6 +257,7 @@ class CrawlEngine:
                 _t[name] = round((now - _tp) * 1000.0, 1)
                 _tp = now
 
+            # J1 (+J1b when over budget)
             dq = dequeue_round(
                 frontier, robots, host_state, vtime,
                 round_seconds=cfg.round_seconds,
@@ -221,11 +265,11 @@ class CrawlEngine:
                 per_host_cap=cfg.per_host_cap,
                 num_partitions=cfg.num_partitions,
                 target_rows_per_partition=cfg.target_rows_per_partition,
+                horizon=(seq_floor, seq_next, cfg.horizon_factor)
+                if uniform_priority else None,
             )
-            batch = dq.batch.cache()
-            denied = dq.denied.cache()
-            n_batch = dq.n_batch
-            n_denied = denied.count()
+            batch, denied = dq.batch, dq.denied
+            n_batch, n_denied = dq.n_batch, dq.n_denied
             tick("dequeue")
 
             if n_batch == 0 and n_denied == 0:
@@ -236,7 +280,6 @@ class CrawlEngine:
                     .agg(F.min("next_free")).first()[0]
                 )
                 candidates_t = [t for t in (nb, nf) if t is not None and t > vtime]
-                frontier.unpersist(); batch.unpersist(); denied.unpersist()
                 dq.release()
                 if not candidates_t:
                     break  # nothing can ever become eligible
@@ -252,42 +295,82 @@ class CrawlEngine:
             nparts = max(1, min(max_parts, -(-n_batch // cfg.min_rows_per_partition)))
 
             if self.fetch_mode == "offline":
-                raw_fetched = offline_fetch_resolved(batch, resolved)
+                raw_fetched = offline_fetch_resolved(
+                    batch, resolved, n_batch=n_batch,
+                    broadcast_max_rows=cfg.fetch_broadcast_max_rows,
+                ).cache()
             else:
                 # live fetch: salted per-host layout BEFORE the I/O stage
                 # (politeness pacing happens inside each Arrow batch)
                 raw_fetched = live_fetch(batch.repartition(nparts, "part")).cache()
 
-            from silkworm_spark.operators.retry import RETRY_HTTP_CODES
+            # body-free metadata twin: the retry split and metrics never
+            # touch page bodies (bodies flow ONLY into parse)
+            is_retryable = F.coalesce(
+                F.col("status").isin(RETRY_HTTP_CODES), F.lit(False)
+            )
+            will_retry = is_retryable & (F.col("retry_times") < cfg.max_retries)
+            gave_up = is_retryable & (F.col("retry_times") >= cfg.max_retries)
+            oversize = F.coalesce(
+                F.length("body") > cfg.html_max_bytes, F.lit(False)
+            )
+            fetched = (
+                raw_fetched.withColumn("_oversize", oversize)
+                .drop("body", "content_type")
+                .cache()
+            )
 
-            # body-free metadata pass: retry split + per-partition metrics
-            # never touch page bodies (the broadcast-batch fetch join is
-            # cheap enough to run twice; bodies flow ONLY into parse)
-            fetched = raw_fetched.drop("body", "content_type").cache()
+            # J2: ONE collect supplies per-partition lineage (north rule)
+            # and every round total, and materializes the fetch caches
+            part_rows = (
+                fetched.groupBy(F.col("part").alias("partition_id"))
+                .agg(
+                    F.count("*").alias("requests_sent"),
+                    F.count("status").alias("responses_received"),
+                    F.count("error").alias("errors"),
+                    F.sum(will_retry.cast("long")).alias("retries"),
+                    F.sum(gave_up.cast("long")).alias("gave_up"),
+                    F.sum(
+                        (F.col("_oversize") & F.col("error").isNull()
+                         & ~will_retry).cast("long")
+                    ).alias("dropped_oversize"),
+                )
+                .collect()
+            )
             tick("fetch")
 
-            ok, retry_rows, gave_up = split_retries(
+            from silkworm_spark.operators.retry import split_retries
+
+            _, retry_rows, _ = split_retries(
                 fetched, vtime, cfg.max_retries, cfg.backoff_base
             )
-            # parse is host-agnostic — repartition uniformly by url so
-            # the Python stage is balanced regardless of the hot-host
-            # distribution (`part` stays on rows for lineage). Force-
-            # materialize each cache before it branches: a cached-but-
-            # lazy DataFrame consumed by two branches of one query gets
-            # computed TWICE concurrently (AQE materializes both map
-            # stages in parallel before the cache is populated).
+            # Parseable = delivered to the callback: errors and
+            # will-retry rows are withheld, but retry-EXHAUSTED rows go
+            # through (reference RetryMiddleware returns the final
+            # response to the spider, middlewares.py:134-135; built-in
+            # callbacks then no-op on non-200). Oversize bodies are
+            # dropped AND counted (dropped_oversize above).
             parseable = (
-                ~F.coalesce(F.col("status").isin(RETRY_HTTP_CODES), F.lit(False))
-                & F.col("error").isNull()
+                F.col("error").isNull()
                 & F.col("status").isNotNull()
+                & ~will_retry
                 # parser cost guard (reference html_max_size_bytes,
                 # engine.py:37, response.py:314)
                 & (F.length("body") <= cfg.html_max_bytes)
             )
+            # parse is host-agnostic — repartition uniformly by url so
+            # the Python stage is balanced regardless of the hot-host
+            # distribution (`part` stays on rows for lineage)
             parse_out = run_parse_stage(
                 raw_fetched.filter(parseable).repartition(nparts, "url")
             ).cache()
-            parse_out.count()
+            # J3: materializes the parse cache AND yields the item/error
+            # counts (round 1 ran a bare count() plus a separate groupBy)
+            parse_counts = {
+                r["out_kind"]: r["cnt"]
+                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
+            }
+            tick("parse")
 
             # item/request routing is pure projection — parse carried the
             # parent metadata and canonical child URLs through the UDF;
@@ -329,29 +412,26 @@ class CrawlEngine:
                 retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
             )
 
-            tick("plan_parse")
             seen = self.ckpt.read("seen")
-            # cache: consumed by the bounds agg, bucket counts, numbering
-            # window, and the frontier write — 4 passes otherwise
             fresh = dedup_candidates(
                 candidates, seen, bloom if cfg.use_bloom else None
             ).cache()
+            # J4: assign_dense_seq's bucket-count collect materializes
+            # `fresh` (anti-join + bloom probe) in the same pass
             assigned, n_new = assign_dense_seq(
                 fresh.drop("seq"), ["parent_seq", "child_index"], start=seq_next,
                 bounds=dq.seq_bounds,
             )
-            new_rows = assigned.select(*_FRONTIER_COLS).cache()
+            new_rows = assigned.select(*_FRONTIER_COLS)
             seq_next += n_new
             tick("dedup_seq")
 
-            seen_new = new_rows.filter(~F.col("dont_filter")).select(
+            # seen rows need no seq — project straight off the cached
+            # `fresh` so the seen write and the executor-side bloom merge
+            # never recompute the numbering window
+            seen_new = fresh.filter(~F.col("dont_filter")).select(
                 "url_hash", "url", F.lit(round_no).alias("round_added")
             )
-            if cfg.use_bloom:
-                bloom.add_many(
-                    [r["url_hash"] for r in seen_new.select("url_hash").collect()]
-                )
-            tick("bloom")
 
             # frontier update is delta-only: append the new enqueues and
             # the consumed seqs (fetched + denied); the checkpoint's
@@ -359,55 +439,27 @@ class CrawlEngine:
             # Commit cost is O(round budget), never O(frontier).
             consumed = batch.select("seq").unionByName(denied.select("seq"))
 
-            # ---- metrics: per-partition lineage (north rule) ----
-            # one collected agg supplies both the per-partition rows and
-            # the round totals (instead of 4 separate count jobs)
-            from silkworm_spark.operators.retry import RETRY_HTTP_CODES
-
-            part_rows = (
-                fetched.groupBy(F.col("part").alias("partition_id"))
-                .agg(
-                    F.count("*").alias("requests_sent"),
-                    F.count("status").alias("responses_received"),
-                    F.count("error").alias("errors"),
-                    F.sum(
-                        F.when(
-                            F.col("status").isin(RETRY_HTTP_CODES)
-                            & (F.col("retry_times") < cfg.max_retries),
-                            1,
-                        ).otherwise(0)
-                    ).alias("retries"),
-                )
-                .collect()
-            )
-            parse_counts = {
-                r["out_kind"]: r["cnt"]
-                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
-            }
-            tick("metrics_agg")
             n_resp = sum(r["responses_received"] for r in part_rows)
             n_retries = sum(r["retries"] for r in part_rows)
+            n_gave_up = sum(r["gave_up"] for r in part_rows)
+            n_oversize = sum(r["dropped_oversize"] for r in part_rows)
             n_items = parse_counts.get("item", 0)
             n_err = sum(r["errors"] for r in part_rows) + parse_counts.get("error", 0)
             elapsed_ms = (perf_counter() - rt0) * 1000.0
             metric_tuples = [
                 (round_no, int(r["partition_id"]), r["requests_sent"],
-                 r["responses_received"], 0, r["errors"], r["retries"], 0, 0.0)
+                 r["responses_received"], 0, r["errors"], r["retries"], 0,
+                 r["gave_up"], r["dropped_oversize"], 0.0)
                 for r in part_rows
             ] + [
                 (round_no, -1, n_batch, n_resp, n_items, n_err,
-                 n_retries, n_denied, elapsed_ms)
+                 n_retries, n_denied, n_gave_up, n_oversize, elapsed_ms)
             ]
-            from silkworm_spark.plans.checkpoint import TABLE_SCHEMAS
-
-            part_metrics = self.spark.createDataFrame(
-                metric_tuples, TABLE_SCHEMAS["metrics"]
-            )
             fetch_log = batch.select(
                 F.lit(round_no).alias("round"), "seq", "url", "host"
             )
 
-            tick("pre_commit")
+            seq_floor = dq.floor_next
             self.ckpt.commit(
                 round_no=round_no,
                 vtime=vtime + cfg.round_seconds,
@@ -415,13 +467,22 @@ class CrawlEngine:
                 appends={
                     "seen": seen_new,
                     "documents": documents,
-                    "metrics": part_metrics,
                     "fetch_log": fetch_log,
                     "frontier_delta": new_rows,
                     "consumed": consumed,
                 },
+                driver_appends={"metrics": metric_tuples},
                 snapshots={"host_state": dq.new_host_state},
                 bloom=bloom if cfg.use_bloom else None,
+                bloom_update=seen_new if cfg.use_bloom else None,
+                known_counts={
+                    "seen": n_new - n_retries,
+                    "documents": n_items,
+                    "fetch_log": n_batch,
+                    "frontier_delta": n_new,
+                    "consumed": n_batch + n_denied,
+                },
+                extras={"uniform_priority": uniform_priority, "seq_floor": seq_floor},
             )
             tick("commit")
             vtime += cfg.round_seconds
@@ -432,14 +493,16 @@ class CrawlEngine:
             self.stats.items_scraped += n_items
             self.stats.errors += n_err
             self.stats.retries += n_retries
+            self.stats.gave_up += n_gave_up
             self.stats.robots_denied += n_denied
+            self.stats.dropped_oversize += n_oversize
             self.stats.per_round.append(
                 dict(round=round_no, batch=n_batch, new=n_new, elapsed_ms=elapsed_ms,
                      timings=_t)
             )
             n_frontier = n_frontier - n_batch - n_denied + n_new
 
-            for df in (frontier, batch, denied, raw_fetched, fetched, parse_out, fresh, new_rows):
+            for df in (raw_fetched, fetched, parse_out, fresh):
                 df.unpersist()
             dq.release()
 

@@ -125,6 +125,12 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("errors", T.LongType(), False),
         T.StructField("retries", T.LongType(), False),
         T.StructField("robots_denied", T.LongType(), False),
+        # retry-exhausted responses (delivered to the callback per
+        # reference middlewares.py:134-135, and counted here so they
+        # never vanish silently) and bodies dropped by the parse size
+        # cap (observable loss, reference response.py:314-328)
+        T.StructField("gave_up", T.LongType(), False),
+        T.StructField("dropped_oversize", T.LongType(), False),
         T.StructField("elapsed_ms", T.DoubleType(), False),
     ]
 )

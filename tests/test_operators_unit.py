@@ -10,7 +10,7 @@ from silkworm_spark.operators.dedup import dedup_candidates, first_wins_intra_ro
 from silkworm_spark.operators.order import assign_dense_seq
 from silkworm_spark.operators.retry import split_retries
 from silkworm_spark.operators.scheduler import dequeue_round
-from silkworm_spark.plans.bloom import BloomFilter
+from silkworm_spark.plans.bloom import ShardedBloom
 from silkworm_spark.schemas import FRONTIER_SCHEMA, HOST_STATE_SCHEMA, ROBOTS_SCHEMA, SEEN_SCHEMA
 
 
@@ -25,7 +25,7 @@ def _frontier_row(url, seq, host="h0", priority=0, dont_filter=False,
 # ---- bloom filter ----
 
 def test_bloom_no_false_negatives_and_low_fp():
-    bf = BloomFilter(n_bits=1 << 16, k=7)
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 13, k=7)
     added = np.arange(1000, dtype=np.int64) * 7919 - 500
     bf.add_many(added)
     assert bf.contains_many(added).all()  # no false negatives, ever
@@ -35,12 +35,31 @@ def test_bloom_no_false_negatives_and_low_fp():
 
 
 def test_bloom_save_load_roundtrip(tmp_path):
-    bf = BloomFilter(n_bits=1 << 12, k=5)
+    bf = ShardedBloom(n_shards=4, bits_per_shard=1 << 10, k=5)
     bf.add_many(np.array([1, 2, 3], dtype=np.int64))
     p = str(tmp_path / "b.npz")
     bf.save(p)
-    bf2 = BloomFilter.load(p)
+    bf2 = ShardedBloom.load(p)
     assert (bf2.bits == bf.bits).all() and bf2.k == bf.k and bf2.count == 3
+    assert bf2.n_shards == 4 and bf2.bits_per_shard == 1 << 10
+
+
+def test_bloom_executor_update_equals_driver_add(spark):
+    """The executor-side sharded merge (applyInPandas OR-deltas) must
+    produce bit-identical filters to driver-side add_many — the
+    invariant that makes the scale path a drop-in swap."""
+    hashes = (np.arange(5000, dtype=np.int64) * 2654435761) - (1 << 40)
+    a = ShardedBloom(n_shards=8, bits_per_shard=1 << 12, k=5)
+    a.add_many(hashes)
+    b = ShardedBloom(n_shards=8, bits_per_shard=1 << 12, k=5)
+    df = spark.createDataFrame([(int(h),) for h in hashes], "url_hash long")
+    b.update_from_df(df.repartition(7))  # arbitrary physical layout
+    assert (a.bits == b.bits).all() and a.count == b.count == 5000
+    # and the probe column agrees with the local probe
+    got = (
+        df.withColumn("m", b.probe_col(df, "url_hash")).collect()
+    )
+    assert all(r["m"] for r in got)
 
 
 # ---- dense seq ----
@@ -101,7 +120,7 @@ def test_dedup_with_bloom_equals_exact(spark):
     seen_rows = [dict(url_hash=_frontier_row(u, 0)["url_hash"], url=u, round_added=0)
                  for u in urls[:100]]
     seen = spark.createDataFrame(seen_rows, SEEN_SCHEMA)
-    bloom = BloomFilter(n_bits=1 << 14, k=7)
+    bloom = ShardedBloom(n_shards=4, bits_per_shard=1 << 12, k=7)
     bloom.add_many(np.array([r["url_hash"] for r in seen_rows], dtype=np.int64))
     exact = sorted(r["url"] for r in dedup_candidates(cand, seen).collect())
     with_bloom = sorted(r["url"] for r in dedup_candidates(cand, seen, bloom).collect())

@@ -36,6 +36,43 @@ def test_extract_spans_skips_head_script():
     assert _strip(spans) == [("text", "body text", None, 0)]
 
 
+def test_fast_scanner_matches_htmlparser_reference(small_web):
+    """The regex scanner (hot path) must agree with the html.parser
+    reference extractor on every fixture page AND on adversarial
+    snippets (comments, CDATA-ish script bodies, charrefs, quoting)."""
+    from silkworm_spark.operators.parse import extract_spans_ref
+
+    for page in small_web["web"]:
+        if not (page["content_type"] or "").startswith("text/html"):
+            continue
+        text, _ = decode_body(page["body"], page["content_type"])
+        assert _strip(extract_spans(text, page["url"])) == _strip(
+            extract_spans_ref(text, page["url"])
+        ), page["url"]
+
+    tricky = [
+        '<p>a<!-- <p>ghost</p> -->b</p>',
+        "<script>var s = '<p>not a para</p><a href=\"/no\">x</a>';</script><p>real</p>",
+        '<style>p:before { content: "</a>"; }</style><a href="/y">y</a>',
+        '<p>x &amp; y &#8212; z</p>',
+        '<a href="/q?a=1&amp;b=2">amp</a>',
+        "<a href='/single'>s</a><a href=unquoted>u</a><a href>none</a>",
+        '<P>UPPER</P><A HREF="/up">U</A>',
+        '<img src="i.png" alt="a>b"><video src="v.mp4"></video>',
+        '<p>open only',
+        '<a href="/x">outer<a href="/y">inner</a>',
+        '<p></p><p>  </p><p>kept</p>',
+        '<!doctype html><?xml version="1.0"?><p>after decls</p>',
+        'text outside any mode<p>in</p>trailing',
+        '<img src>valueless<img src="ok.png">',
+        '<p>a<br/>b</p><p/>selfclosed p',
+    ]
+    for html in tricky:
+        got = _strip(extract_spans(html, "http://h.com/base/"))
+        want = _strip(extract_spans_ref(html, "http://h.com/base/"))
+        assert got == want, html
+
+
 def test_parse_default_emits_item_then_requests():
     body = b'<html><body><p>t</p><a href="/a">A</a><a href="/b">B</a></body></html>'
     row = dict(url="http://h.com/p", final_url="http://h.com/p", status=200,
