@@ -52,6 +52,8 @@ def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: ShardedBloom | None = None,
+    n_seen: int | None = None,
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Candidates (with url, url_hash, dont_filter, parent_seq,
     child_index) → rows to actually enqueue.
@@ -59,19 +61,52 @@ def dedup_candidates(
     ``dont_filter`` rows bypass both the check and the seen insert
     (engine.py:99-106; retries rely on this — middlewares.py:137-139,
     verified end-to-end by reference tests test_silkworm_core.py:450-487).
+
+    Two physical strategies, chosen by the size of the seen set:
+
+    - seen fits a broadcast (``n_seen <= broadcast_max_rows``): one
+      LINEAR pass — map-side broadcast anti-join, then the first-wins
+      aggregation. No bloom probe (pure overhead when the join is
+      already map-side), no plan branch, nothing computed twice.
+      Anti-join-then-first-wins equals first-wins-then-anti-join:
+      the seen filter removes every occurrence of a URL or none.
+    - seen too big to broadcast (the 10^10 path): the sharded bloom
+      pre-filters candidates so only "maybe seen" rows (true dupes +
+      fp-rate) enter the shuffle anti-join. The probed frame is cached
+      and force-materialized, because both branches (maybe /
+      definitely-new) consume it in one downstream job — an
+      unmaterialized cache would be computed twice concurrently. The
+      cache handle rides on ``fresh._dedup_cache`` for the caller to
+      release after the round.
     """
     bypass = candidates.filter(F.col("dont_filter"))
-    checked = first_wins_intra_round(candidates.filter(~F.col("dont_filter")))
+    nf = candidates.filter(~F.col("dont_filter"))
+    seen_keys = seen.select("url_hash", "url")
 
-    if bloom is not None and not bloom.is_empty:
-        probe = bloom.probe_col(candidates, "url_hash")
-        maybe = checked.filter(probe)
-        definitely_new = checked.filter(~probe)
-        fresh = maybe.join(
-            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
-        ).unionByName(definitely_new)
-    else:
-        fresh = checked.join(
-            seen.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+    use_bloom = (
+        bloom is not None
+        and not bloom.is_empty
+        and (n_seen is None or n_seen > broadcast_max_rows)
+    )
+    if not use_bloom:
+        fresh = first_wins_intra_round(
+            nf.join(F.broadcast(seen_keys), on=["url_hash", "url"], how="left_anti")
         )
-    return fresh.unionByName(bypass)
+        out = fresh.unionByName(bypass)
+        out._dedup_cache = None
+        return out
+
+    checked = first_wins_intra_round(nf).withColumn(
+        "_maybe", bloom.probe_col(candidates, "url_hash")
+    ).cache()
+    checked.count()  # materialize before the branches fan out
+    cols = candidates.columns
+    fresh = (
+        checked.filter(F.col("_maybe")).drop("_maybe")
+        .join(seen_keys, on=["url_hash", "url"], how="left_anti")
+        .unionByName(checked.filter(~F.col("_maybe")).drop("_maybe"))
+        .select(*cols)
+    )
+    out = fresh.unionByName(bypass)
+    out._dedup_cache = checked
+    return out

@@ -23,7 +23,6 @@ from collections.abc import Iterator
 from html.parser import HTMLParser
 from typing import Callable
 
-import pandas as pd
 from pyspark.sql import DataFrame
 
 from silkworm_spark.functions.text import decode_body, is_html
@@ -287,52 +286,117 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
     """fetched (frontier cols + fetch-result cols) → PARSE_OUT rows,
     one per document.
 
-    One mapInPandas pass: child URLs are canonicalized/host-extracted
+    One mapInArrow pass: child URLs are canonicalized/host-extracted
     inside the same vectorized batch and packed into a ``children``
     array (exploded JVM-side) — the Arrow boundary moves 1 row per
     document instead of 1 per link. Parent metadata rides along so
     downstream routing is pure projection. Callback errors land in the
-    ``error`` column (worker-survives-error, engine.py:138-152)."""
+    ``error`` column (worker-survives-error, engine.py:138-152).
+
+    The output batch is built COLUMNAR: flat value lists + list
+    offsets → pyarrow ``StructArray``/``ListArray`` directly. The
+    pandas path (one python dict per span, converted object-by-object
+    by pyarrow) spent comparable CPU serializing the output as parsing
+    the page; flat-list construction is a C-speed bulk conversion.
+    Span/children arrays of non-item rows are empty lists (the engine
+    filters ``out_kind == 'item'`` / ``size(children) > 0``)."""
 
     from silkworm_spark.functions.urls import canonicalize_url, host_of
 
-    cols = ["url", "final_url", "status", "content_type", "body", "callback",
-            "seq", "depth"]
-    out_cols = [f.name for f in PARSE_OUT_SCHEMA.fields]
+    def gen(batches):
+        import pyarrow as pa
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out: list[dict] = []
-            for row in pdf[cols].to_dict("records"):
-                base = dict(
-                    url=row["url"], seq=row["seq"], depth=row["depth"],
-                    status=row["status"], callback=row["callback"],
-                    out_kind="none", doc_id=None, children=None,
-                    spans=None, error=None,
+        span_t = pa.struct(
+            [("kind", pa.string()), ("text", pa.string()),
+             ("media_ref", pa.string()), ("offset", pa.int32())]
+        )
+        child_t = pa.struct(
+            [("url", pa.string()), ("host", pa.string()),
+             ("idx", pa.int32()), ("cb", pa.string())]
+        )
+        for b in batches:
+            urls = b.column("url").to_pylist()
+            finals = b.column("final_url").to_pylist()
+            statuses = b.column("status").to_pylist()
+            cts = b.column("content_type").to_pylist()
+            bodies = b.column("body").to_pylist()
+            cbs = b.column("callback").to_pylist()
+            seqs = b.column("seq").to_pylist()
+            depths = b.column("depth").to_pylist()
+
+            o_url, o_kind, o_doc, o_seq, o_depth, o_status, o_cb, o_err = \
+                [], [], [], [], [], [], [], []
+            s_off, s_kind, s_text, s_ref, s_idx = [0], [], [], [], []
+            c_off, c_url, c_host, c_idx, c_cb = [0], [], [], [], []
+
+            for i in range(len(urls)):
+                row = dict(
+                    url=urls[i], final_url=finals[i], status=statuses[i],
+                    content_type=cts[i], body=bodies[i], callback=cbs[i],
+                    seq=seqs[i], depth=depths[i],
                 )
                 cb = CALLBACKS.get(row["callback"] or "parse", parse_default)
+                kind, doc_id, err = "none", None, None
+                n_spans = n_children = 0
                 try:
-                    children: list[dict] = []
                     for o in cb(row):
                         if o["out_kind"] == "item":
-                            base["out_kind"] = "item"
-                            base["spans"] = o["spans"]
-                            base["doc_id"] = canonicalize_url(row["final_url"] or row["url"])
+                            kind = "item"
+                            doc_id = canonicalize_url(row["final_url"] or row["url"])
+                            for s in o["spans"]:
+                                s_kind.append(s["kind"])
+                                s_text.append(s["text"])
+                                s_ref.append(s["media_ref"])
+                                s_idx.append(s["offset"])
+                                n_spans += 1
                         elif o["out_kind"] == "request" and o["child_url"]:
                             cu = canonicalize_url(o["child_url"])
-                            children.append(dict(
-                                url=cu, host=host_of(cu), idx=o["child_index"],
-                                cb=o.get("callback"),  # NULL ⇒ inherit parent's
-                            ))
-                    if children:
-                        base["children"] = children
-                    if base["out_kind"] != "none" or children:
-                        out.append(base)
+                            c_url.append(cu)
+                            c_host.append(host_of(cu))
+                            c_idx.append(o["child_index"])
+                            c_cb.append(o.get("callback"))  # NULL ⇒ inherit
+                            n_children += 1
                 except Exception as exc:  # contain per row (engine.py:138-152)
-                    out.append(dict(
-                        base, out_kind="error", spans=None, children=None,
-                        error=f"{type(exc).__name__}: {exc}",
-                    ))
-            yield pd.DataFrame(out, columns=out_cols)
+                    del s_kind[s_off[-1]:], s_text[s_off[-1]:], \
+                        s_ref[s_off[-1]:], s_idx[s_off[-1]:]
+                    del c_url[c_off[-1]:], c_host[c_off[-1]:], \
+                        c_idx[c_off[-1]:], c_cb[c_off[-1]:]
+                    kind, doc_id, err = "error", None, f"{type(exc).__name__}: {exc}"
+                    n_spans = n_children = 0
+                if kind == "none" and n_children == 0:
+                    del s_kind[s_off[-1]:], s_text[s_off[-1]:], \
+                        s_ref[s_off[-1]:], s_idx[s_off[-1]:]
+                    continue
+                s_off.append(s_off[-1] + n_spans)
+                c_off.append(c_off[-1] + n_children)
+                o_url.append(row["url"]); o_kind.append(kind)
+                o_doc.append(doc_id); o_seq.append(row["seq"])
+                o_depth.append(row["depth"]); o_status.append(row["status"])
+                o_cb.append(row["callback"]); o_err.append(err)
 
-    return fetched.mapInPandas(gen, schema=PARSE_OUT_SCHEMA)
+            spans_arr = pa.ListArray.from_arrays(
+                pa.array(s_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(s_kind, pa.string()), pa.array(s_text, pa.string()),
+                     pa.array(s_ref, pa.string()), pa.array(s_idx, pa.int32())],
+                    fields=list(span_t),
+                ),
+            )
+            children_arr = pa.ListArray.from_arrays(
+                pa.array(c_off, pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array(c_url, pa.string()), pa.array(c_host, pa.string()),
+                     pa.array(c_idx, pa.int32()), pa.array(c_cb, pa.string())],
+                    fields=list(child_t),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(o_url, pa.string()), pa.array(o_kind, pa.string()),
+                 spans_arr, pa.array(o_doc, pa.string()), children_arr,
+                 pa.array(o_seq, pa.int64()), pa.array(o_depth, pa.int32()),
+                 pa.array(o_status, pa.int32()), pa.array(o_cb, pa.string()),
+                 pa.array(o_err, pa.string())],
+                names=[f.name for f in PARSE_OUT_SCHEMA.fields],
+            )
+
+    return fetched.mapInArrow(gen, schema=PARSE_OUT_SCHEMA)

@@ -89,6 +89,9 @@ class CrawlConfig:
     html_max_bytes: int = 5_000_000  # parse cap (reference engine.py:37)
     horizon_factor: int = 4  # dequeue scans ~factor*budget seqs (see scheduler)
     fetch_broadcast_max_rows: int = 2_000_000  # gate on the batch-side broadcast
+    # seen-set size up to which dedup uses a map-side broadcast
+    # anti-join; beyond it, the sharded-bloom prefilter path
+    seen_broadcast_max_rows: int = 4_000_000
 
 
 @dataclass
@@ -198,7 +201,7 @@ class CrawlEngine:
             bloom=bloom if cfg.use_bloom else None,
             bloom_update=seen if cfg.use_bloom else None,
             known_counts={"seen": n, "frontier_delta": n},
-            extras={"uniform_priority": uniform, "seq_floor": 0},
+            extras={"uniform_priority": uniform, "seq_floor": 0, "n_seen": n},
         )
         frontier.unpersist()
 
@@ -214,9 +217,14 @@ class CrawlEngine:
 
         path = shared_path or f"{self.ckpt.root}/resolved_web"
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            resolve_web(self.web, self.config.max_redirects).write.mode(
-                "overwrite"
-            ).parquet(path)
+            # many small files, not few giant row groups: a parquet range
+            # split cannot cross a row group, so an AQE-coalesced write
+            # (~8 files x 240 MB) silently caps the per-round fetch+parse
+            # scan at ~8 concurrent tasks regardless of cores
+            n_files = max(64, self.spark.sparkContext.defaultParallelism * 4)
+            resolve_web(self.web, self.config.max_redirects).repartition(
+                n_files
+            ).write.mode("overwrite").parquet(path)
         self._resolved_path = path
         return self.spark.read.parquet(path)
 
@@ -236,6 +244,7 @@ class CrawlEngine:
         round_no = int(self.ckpt.manifest["round"])
         uniform_priority = bool(self.ckpt.manifest.get("uniform_priority", False))
         seq_floor = int(self.ckpt.manifest.get("seq_floor", 0))
+        n_seen = self.ckpt.manifest.get("n_seen")  # None (old ckpt) ⇒ bloom path
 
         n_frontier: int | None = None  # tracked incrementally after round 1
         # max_rounds bounds the *crawl*, not this run() call — a resumed
@@ -304,24 +313,54 @@ class CrawlEngine:
                 # (politeness pacing happens inside each Arrow batch)
                 raw_fetched = live_fetch(batch.repartition(nparts, "part")).cache()
 
-            # body-free metadata twin: the retry split and metrics never
-            # touch page bodies (bodies flow ONLY into parse)
             is_retryable = F.coalesce(
                 F.col("status").isin(RETRY_HTTP_CODES), F.lit(False)
             )
             will_retry = is_retryable & (F.col("retry_times") < cfg.max_retries)
             gave_up = is_retryable & (F.col("retry_times") >= cfg.max_retries)
-            oversize = F.coalesce(
-                F.length("body") > cfg.html_max_bytes, F.lit(False)
-            )
-            fetched = (
-                raw_fetched.withColumn("_oversize", oversize)
-                .drop("body", "content_type")
-                .cache()
-            )
 
-            # J2: ONE collect supplies per-partition lineage (north rule)
-            # and every round total, and materializes the fetch caches
+            # Parseable = delivered to the callback: errors and
+            # will-retry rows are withheld, but retry-EXHAUSTED rows go
+            # through (reference RetryMiddleware returns the final
+            # response to the spider, middlewares.py:134-135; built-in
+            # callbacks then no-op on non-200). Oversize bodies are
+            # dropped AND counted (dropped_oversize below).
+            parseable = (
+                F.col("error").isNull()
+                & F.col("status").isNotNull()
+                & ~will_retry
+                # parser cost guard (reference html_max_size_bytes,
+                # engine.py:37, response.py:314)
+                & (F.length("body") <= cfg.html_max_bytes)
+            )
+            # No repartition before parse: the offline fetch join output
+            # inherits the resolved table's scan splits (uniform in url,
+            # host-mixed), so the Python stage is already balanced — a
+            # repartition here would shuffle every BODY (round 1 shuffled
+            # ~600 MB/round through the spill disk and capped parse-stage
+            # scaling at 0.37). Live mode pre-salts by `part` instead.
+            parse_in = raw_fetched.filter(parseable)
+            if self.fetch_mode != "offline":
+                parse_in = parse_in.repartition(nparts, "part")
+            parse_out = run_parse_stage(parse_in).cache()
+            # J2: materializes the fetch AND parse caches in one job
+            # (the python stage pipelines with the fetch join) and
+            # yields the item/error counts
+            parse_counts = {
+                r["out_kind"]: r["cnt"]
+                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
+            }
+            tick("parse")
+
+            # body-free metadata twin off the now-warm fetch cache: the
+            # retry split and metrics never touch page bodies
+            fetched = raw_fetched.withColumn(
+                "_oversize",
+                F.coalesce(F.length("body") > cfg.html_max_bytes, F.lit(False)),
+            ).drop("body", "content_type")
+
+            # J3: ONE collect supplies per-partition lineage (north
+            # rule) and every round total
             part_rows = (
                 fetched.groupBy(F.col("part").alias("partition_id"))
                 .agg(
@@ -344,33 +383,6 @@ class CrawlEngine:
             _, retry_rows, _ = split_retries(
                 fetched, vtime, cfg.max_retries, cfg.backoff_base
             )
-            # Parseable = delivered to the callback: errors and
-            # will-retry rows are withheld, but retry-EXHAUSTED rows go
-            # through (reference RetryMiddleware returns the final
-            # response to the spider, middlewares.py:134-135; built-in
-            # callbacks then no-op on non-200). Oversize bodies are
-            # dropped AND counted (dropped_oversize above).
-            parseable = (
-                F.col("error").isNull()
-                & F.col("status").isNotNull()
-                & ~will_retry
-                # parser cost guard (reference html_max_size_bytes,
-                # engine.py:37, response.py:314)
-                & (F.length("body") <= cfg.html_max_bytes)
-            )
-            # parse is host-agnostic — repartition uniformly by url so
-            # the Python stage is balanced regardless of the hot-host
-            # distribution (`part` stays on rows for lineage)
-            parse_out = run_parse_stage(
-                raw_fetched.filter(parseable).repartition(nparts, "url")
-            ).cache()
-            # J3: materializes the parse cache AND yields the item/error
-            # counts (round 1 ran a bare count() plus a separate groupBy)
-            parse_counts = {
-                r["out_kind"]: r["cnt"]
-                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
-            }
-            tick("parse")
 
             # item/request routing is pure projection — parse carried the
             # parent metadata and canonical child URLs through the UDF;
@@ -413,9 +425,11 @@ class CrawlEngine:
             )
 
             seen = self.ckpt.read("seen")
-            fresh = dedup_candidates(
-                candidates, seen, bloom if cfg.use_bloom else None
-            ).cache()
+            deduped = dedup_candidates(
+                candidates, seen, bloom if cfg.use_bloom else None,
+                n_seen=n_seen, broadcast_max_rows=cfg.seen_broadcast_max_rows,
+            )
+            fresh = deduped.cache()
             # J4: assign_dense_seq's bucket-count collect materializes
             # `fresh` (anti-join + bloom probe) in the same pass
             assigned, n_new = assign_dense_seq(
@@ -482,7 +496,11 @@ class CrawlEngine:
                     "frontier_delta": n_new,
                     "consumed": n_batch + n_denied,
                 },
-                extras={"uniform_priority": uniform_priority, "seq_floor": seq_floor},
+                extras={
+                    "uniform_priority": uniform_priority,
+                    "seq_floor": seq_floor,
+                    "n_seen": (n_seen or 0) + (n_new - n_retries),
+                },
             )
             tick("commit")
             vtime += cfg.round_seconds
@@ -501,9 +519,13 @@ class CrawlEngine:
                      timings=_t)
             )
             n_frontier = n_frontier - n_batch - n_denied + n_new
+            if n_seen is not None:
+                n_seen += n_new - n_retries
 
-            for df in (raw_fetched, fetched, parse_out, fresh):
+            for df in (raw_fetched, parse_out, fresh):
                 df.unpersist()
+            if getattr(deduped, "_dedup_cache", None) is not None:
+                deduped._dedup_cache.unpersist()
             dq.release()
 
         robots.unpersist()

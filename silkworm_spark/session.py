@@ -36,8 +36,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # body-heavy tables (6 KB+/row): smaller splits keep the scan →
+        # fetch-join → parse chain at ≥2x cores partitions without any
+        # explicit repartition (which would shuffle bodies)
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # the crawl is python-CPU-bound with abundant memory: lz4-in-
+        # memory columnar compression burns cores for nothing on the
+        # per-round body/span caches
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size the heap for
+        # the per-round body cache (~rows x page size) or GC pauses
+        # dominate wide (16+) task widths
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "20g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
