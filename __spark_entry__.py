@@ -384,13 +384,19 @@ FROM documents GROUP BY 1
 
 
 def _dedup_ngram_jaccard(spark, sf):
-    return ngram_jaccard_pairs(_t(spark, sf, "documents"), n=4, threshold=0.1)
+    # max_doc_freq=50: the scale guard against stop-shingle join blowup
+    # (operators/dedup_corpus.py) — the oracle applies the same df cap
+    return ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=4, threshold=0.1, max_doc_freq=50
+    )
 
 
 _reg("dedup_ngram_jaccard", _dedup_ngram_jaccard, _shingle_cte(4) + """
-, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+, dfreq AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfreq USING (h) WHERE c <= 50),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n
-          FROM sh a JOIN sh b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+          FROM shc a JOIN shc b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
 SELECT a, b, round(n * 1.0 / (sa.sz + sb.sz - n), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
 WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.1
@@ -543,8 +549,12 @@ WHERE a.vec_id < b.vec_id
 
 def _embed_neardup_lsh(spark, sf):
     """LSH-bucketed near-dup (the 10^10-scale path) — recall-bounded,
-    so checked rows-only (no SQL oracle)."""
-    return embedding_neardup_pairs(_t(spark, sf, "embeddings"), threshold=0.4, n_planes=4)
+    so checked rows-only here; tests/test_similarity_recall.py pins
+    precision == 1 (output ⊆ brute-force pairs) and recall ≥ 0.85
+    against the exact crossJoin truth."""
+    return embedding_neardup_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_tables=8
+    )
 
 
 _reg("embed_neardup_lsh", _embed_neardup_lsh, None)

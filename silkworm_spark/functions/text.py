@@ -2,9 +2,8 @@
 
 Charset cascade mirrors the reference (response.py:120-269):
 BOM → Content-Type charset → <meta>/XML-decl regex in the first 4 KiB →
-scored fallback (the reference uses charset-normalizer, not available
-here; the rebuild falls back to strict-utf-8-else-windows-1252, biased
-to web encodings the same way) → utf-8-replace.
+strict-utf-8 probe → charset-normalizer scored detection (the same
+library the reference uses, import-gated) → windows-1252 → utf-8-replace.
 
 HTML detection mirrors http.py:177-195: content-type contains "html",
 or the first 2048 bytes contain ``<html``/``<!doctype``, or ``text/*``
@@ -38,6 +37,24 @@ _XML_DECL_RE = re.compile(rb"<\?xml[^>]+encoding\s*=\s*[\"']([\w.:-]+)[\"']", re
 _SNIFF = 2048
 _META_WINDOW = 4096
 
+# the reference accepts a scored guess only from this web-encoding set
+# (response.py:46-100 _PREFERRED_WEB_ENCODINGS); anything else falls
+# through to windows-1252
+_PREFERRED_WEB_ENCODINGS = {
+    "utf-8", "utf-8-sig", "utf-16", "utf-16-be", "utf-16-le",
+    "utf-32", "utf-32-be", "utf-32-le",
+    "big5", "euc-jp", "euc-kr", "gb18030", "gb2312", "gbk", "ibm866",
+    "iso-8859-1", "iso-8859-2", "iso-8859-3", "iso-8859-4", "iso-8859-5",
+    "iso-8859-6", "iso-8859-7", "iso-8859-8", "iso-8859-10", "iso-8859-13",
+    "iso-8859-14", "iso-8859-15", "iso-8859-16", "koi8-r", "koi8-u",
+    "mac-cyrillic", "macintosh", "shift-jis",
+    "windows-874", "windows-1250", "windows-1251", "windows-1252",
+    "windows-1253", "windows-1254", "windows-1255", "windows-1256",
+    "windows-1257", "windows-1258",
+    "cp1250", "cp1251", "cp1252", "cp1253", "cp1254", "cp1255",
+    "cp1256", "cp1257", "cp1258",
+}
+
 
 def detect_encoding(body: bytes | None, content_type: str | None) -> str:
     if not body:
@@ -66,7 +83,22 @@ def detect_encoding(body: bytes | None, content_type: str | None) -> str:
         body.decode("utf-8")
         return "utf-8"
     except UnicodeDecodeError:
-        return "windows-1252"
+        pass
+    # scored fallback — same library as the reference (response.py:120-269
+    # delegates its final guess to charset-normalizer), import-gated so
+    # executors without it still decode deterministically
+    try:
+        from charset_normalizer import from_bytes
+
+        best = from_bytes(body[:_META_WINDOW]).best()
+        if best is not None and best.encoding:
+            enc = best.encoding.lower().replace("_", "-")
+            if enc in _PREFERRED_WEB_ENCODINGS:
+                codecs.lookup(enc)
+                return enc
+    except Exception:
+        pass
+    return "windows-1252"
 
 
 def decode_body(body: bytes | None, content_type: str | None) -> tuple[str, str]:

@@ -101,6 +101,14 @@ def merge_params(url: str, params: dict[str, str] | None) -> str:
 
 
 @pandas_udf(StringType())
+def merge_params_udf(urls: pd.Series, params: pd.Series) -> pd.Series:
+    return pd.Series(
+        [merge_params(u, dict(p) if p is not None else None)
+         for u, p in zip(urls, params)]
+    )
+
+
+@pandas_udf(StringType())
 def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
 

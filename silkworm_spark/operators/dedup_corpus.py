@@ -73,15 +73,32 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ τ.
 
-    |∩| from the shingle equi-join, |∪| = |A|+|B|-|∩|. The equi-join
-    shuffles on the shingle hash — at scale, cap df (drop shingles
-    appearing in > f·N docs) before joining; here the corpus is small.
-    """
-    sh = shingle_hashes(docs, n, text_col).cache()
+    |∩| from the shingle equi-join, |∪| = |A|+|B|-|∩|.
+
+    ``max_doc_freq`` is the scale guard: a stop-shingle appearing in
+    f·N documents contributes (f·N)² join rows — one hot shingle makes
+    the equi-join quadratic. Dropping shingles with document frequency
+    > max_doc_freq bounds per-key fan-out to max_doc_freq², the
+    standard df-cap from large-scale near-dup mining; Jaccard is then
+    computed over the capped shingle sets (sizes and intersection
+    consistently). None = exact (small corpora only)."""
+    sh = shingle_hashes(docs, n, text_col)
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("h").agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("h")
+        )
+        sh = sh.join(rare, "h")
+    sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "h")
     b = sh.select(F.col("doc_id").alias("b"), "h")
@@ -189,18 +206,47 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 32) -> DataFram
     return agg.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 6, text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance ≤ d. Small-corpus
-    all-pairs form; the scale path buckets on bit-bands of the
-    fingerprint first (same LSH trick as minhash_lsh_pairs)."""
-    s = simhash(docs, text_col).cache()
-    a = s.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    b = s.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 6,
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ d — EXACT, via
+    pigeonhole bit-banding instead of all-pairs.
+
+    Split the fingerprint into d+1 bit bands: two fingerprints within
+    Hamming distance d MUST agree exactly on ≥1 band (d flipped bits
+    cannot touch all d+1 bands), so the (band, band_value) equi-join
+    finds every qualifying pair; the exact Hamming post-filter removes
+    band-collision false positives. Same output as a crossJoin, but the
+    shuffle is keyed and each bucket's fan-out is corpus-similarity
+    bounded — the form that survives 10^8 docs (crossJoin does not).
+    """
+    n_bands = max_hamming + 1
+    s = simhash(docs, text_col, bits).cache()
+    # band i covers bit range [lo_i, lo_i+w_i): widths differ by ≤1
+    bounds = [round(i * bits / n_bands) for i in range(n_bands + 1)]
+    band_vals = F.array(*[
+        F.shiftright(F.col("simhash"), bounds[i])
+        .bitwiseAND(F.lit((1 << (bounds[i + 1] - bounds[i])) - 1))
+        for i in range(n_bands)
+    ])
+    banded = s.select(
+        "doc_id", "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = banded.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "bval"
+    )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "bval"])
         .filter(F.col("a") < F.col("b"))
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
+        .distinct()  # a pair may agree on several bands
     )

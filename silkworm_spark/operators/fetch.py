@@ -34,11 +34,30 @@ REDIRECT_STATUSES = (301, 302, 303, 307, 308)
 # Frontier metadata carried through the fetch untouched (`part` is the
 # scheduler's salted partition key — preserved so downstream stages keep
 # the skew-balanced layout and per-partition metric lineage).
-_CARRY = [
-    "url", "url_hash", "host", "depth", "parent_seq", "child_index", "seq",
-    "callback", "priority", "dont_filter", "retry_times", "not_before",
-    "round_added", "part",
-]
+from silkworm_spark.schemas import FRONTIER_COLS
+
+_CARRY = [*FRONTIER_COLS, "part"]
+
+
+def _with_fetch_url(batch: DataFrame) -> DataFrame:
+    """Add ``_fetch``: the effective request URL with query params
+    merged at FETCH time, raw ``url`` untouched (the reference merges
+    in http._build_url, http.py:396-406 — the seen set and ordering
+    key stay on req.url). Split-filtered so the merge UDF stage only
+    ever sees rows that carry params — the common all-GET-no-params
+    round pays zero Python."""
+    from silkworm_spark.functions.urls import merge_params_udf
+
+    if "params" not in batch.columns:
+        return batch.withColumn("_fetch", F.col("url"))
+    has_p = F.col("params").isNotNull() & (F.size(F.col("params")) > 0)
+    without = batch.filter(~F.coalesce(has_p, F.lit(False))).withColumn(
+        "_fetch", F.col("url")
+    )
+    with_p = batch.filter(F.coalesce(has_p, F.lit(False))).withColumn(
+        "_fetch", merge_params_udf("url", "params")
+    )
+    return without.unionByName(with_p)
 
 
 def offline_fetch(batch: DataFrame, web: DataFrame, max_redirects: int = 10) -> DataFrame:
@@ -54,10 +73,10 @@ def offline_fetch(batch: DataFrame, web: DataFrame, max_redirects: int = 10) -> 
         F.col("body").alias("w_body"), F.col("attempts_until_ok").alias("w_attempts"),
     )
 
-    pending = batch.select(
+    pending = _with_fetch_url(batch).select(
         *_CARRY,
-        F.col("url").alias("cur_url"),
-        F.array(F.col("url")).alias("visited"),
+        F.col("_fetch").alias("cur_url"),
+        F.array(F.col("_fetch")).alias("visited"),
         F.lit(0).alias("redirect_times"),
     )
     finished: list[DataFrame] = []
@@ -91,6 +110,7 @@ def offline_fetch(batch: DataFrame, web: DataFrame, max_redirects: int = 10) -> 
             .when(is_redirect & over, F.lit("too_many_redirects"))
             .otherwise(F.lit(None).cast("string"))
             .alias("error"),
+            F.lit(None).cast("map<string,string>").alias("resp_headers"),
         )
         finished.append(done)
 
@@ -208,73 +228,125 @@ def offline_fetch_resolved(
     # is a separate keys-only anti-join. The broadcast is size-GATED:
     # beyond broadcast_max_rows a multi-GB round batch would be shipped
     # to every executor, so it falls back to a shuffle-hash join.
+    batch = _with_fetch_url(batch)
     b = (
         F.broadcast(batch)
         if n_batch is None or n_batch <= broadcast_max_rows
         else batch.hint("SHUFFLE_HASH")
     )
-    matched = r.join(b, batch.url == r.r_url, "inner")
+    matched = r.join(b, batch["_fetch"] == r.r_url, "inner")
     eff_status = F.when(
         (F.col("attempts_until_ok") > 0)
         & (F.col("retry_times") >= F.col("attempts_until_ok"))
         & F.col("r_error").isNull(),
         F.lit(200),
     ).otherwise(F.col("r_status"))
+    null_hdrs = F.lit(None).cast("map<string,string>").alias("resp_headers")
     ok_rows = matched.select(
         *_CARRY,
-        F.coalesce(F.col("final_url"), F.col("url")).alias("final_url"),
+        F.coalesce(F.col("final_url"), F.col("_fetch")).alias("final_url"),
         eff_status.alias("status"),
         "content_type", "body",
         F.coalesce(F.col("redirect_times"), F.lit(0)).alias("redirect_times"),
         F.col("r_error").alias("error"),
+        null_hdrs,
     )
     missing_rows = batch.join(
-        resolved.select("url").hint("SHUFFLE_HASH"), "url", "left_anti"
+        resolved.select(F.col("url").alias("r_url")).hint("SHUFFLE_HASH"),
+        batch["_fetch"] == F.col("r_url"), "left_anti"
     ).select(
         *_CARRY,
-        F.col("url").alias("final_url"),
+        F.col("_fetch").alias("final_url"),
         F.lit(None).cast("int").alias("status"),
         F.lit(None).cast("string").alias("content_type"),
         F.lit(None).cast("binary").alias("body"),
         F.lit(0).alias("redirect_times"),
         F.lit("fetch_error").alias("error"),
+        null_hdrs,
     )
     return ok_rows.unionByName(missing_rows)
 
 
-def live_fetch(batch: DataFrame, timeout_s: float = 30.0, concurrency: int = 16) -> DataFrame:
+def live_fetch(
+    batch: DataFrame,
+    timeout_s: float = 30.0,
+    concurrency: int = 16,
+    default_headers: dict[str, str] | None = None,
+) -> DataFrame:
     """Production fetch path: thread-pooled HTTP inside mapInPandas.
 
     Per-host serialization happens *inside* each Arrow batch (rows are
     already host-partitioned by the scheduler's salted repartition),
     which is the distributed analog of the reference's semaphore-capped
-    client (http.py:43,89). Untestable in this sandbox (no network).
+    client (http.py:43,89). Carries the full reference request surface
+    (http.py:67-152): method, merged query params (_build_url,
+    http.py:396-406), default∪request headers (http.py:96), request
+    body, per-request timeout override, per-request proxy from
+    ``meta['proxy']`` (http.py:68) falling back to the middleware
+    ``proxy`` column, UA from the middleware ``ua`` column. Response
+    headers come back normalized to a lowercase-key map
+    (http.py:323-364). Untestable in this sandbox (no network).
     """
-    carry = [f.name for f in batch.schema.fields if f.name in _CARRY]
+    carry = [f.name for f in batch.schema.fields
+             if f.name in _CARRY or f.name in ("ua", "proxy")]
     out_schema = ", ".join(
         [f"{c} {batch.schema[c].dataType.simpleString()}" for c in carry]
         + [f"{f.name} {f.dataType.simpleString()}" for f in FETCH_RESULT_SCHEMA.fields
            if f.name != "url"]
     )
+    base_headers = dict(default_headers or {})
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import concurrent.futures as cf
         import urllib.request
 
+        from silkworm_spark.functions.urls import merge_params
+
+        def val(x):
+            # pandas surfaces SQL NULLs as NaN/None depending on dtype
+            if x is None or (isinstance(x, float) and x != x):
+                return None
+            return x
+
         def fetch_one(row: dict) -> dict:
             try:
-                req = urllib.request.Request(row["url"], headers={"User-Agent": "silkworm-spark/0.1"})
-                with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                headers = {str(k).lower(): str(v) for k, v in base_headers.items()}
+                if val(row.get("ua")):
+                    headers.setdefault("user-agent", row["ua"])
+                headers.setdefault("user-agent", "silkworm-spark/0.1")
+                for k, v in (val(row.get("headers")) or {}).items():
+                    headers[str(k).lower()] = str(v)
+                url = merge_params(row["url"], val(row.get("params")))
+                req = urllib.request.Request(
+                    url, data=val(row.get("data")),
+                    headers=headers, method=val(row.get("method")) or "GET",
+                )
+                proxy = (val(row.get("meta")) or {}).get("proxy") or val(row.get("proxy"))
+                if proxy:
+                    opener = urllib.request.build_opener(
+                        urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+                    )
+                    open_fn = opener.open
+                else:
+                    open_fn = urllib.request.urlopen
+                tmo = val(row.get("timeout")) or timeout_s
+                with open_fn(req, timeout=tmo) as resp:
                     body = resp.read()
+                    resp_headers = {
+                        str(k).strip().lower(): str(v).strip()
+                        for k, v in resp.headers.items()
+                    }
                     return dict(
                         row, final_url=resp.geturl(), status=resp.status,
-                        content_type=resp.headers.get("content-type"),
+                        content_type=resp_headers.get("content-type"),
                         body=body, redirect_times=0, error=None,
+                        resp_headers=resp_headers,
                     )
             except Exception as exc:
                 return dict(
                     row, final_url=None, status=None, content_type=None,
                     body=None, redirect_times=0, error=f"{type(exc).__name__}: {exc}",
+                    resp_headers=None,
                 )
 
         for pdf in batches:

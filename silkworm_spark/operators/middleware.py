@@ -53,6 +53,24 @@ def skip_non_html(fetched: DataFrame, allow_non_html_col: str | None = None) -> 
     )
 
 
+def request_delay_col(
+    delay: float = 0.0,
+    delay_range: tuple[float, float] | None = None,
+    url_col: str = "url",
+) -> Column:
+    """DelayMiddleware (middlewares.py:164-263): per-request pacing in
+    addition to per-host politeness. The reference sleeps before each
+    send; the distributed analog adds the delay to the request's
+    ``not_before`` clock, so the scheduler simply won't dequeue it
+    earlier. ``delay_range`` is the random strategy, hash-derived so
+    identical crawls pace identically (random.uniform can't replay)."""
+    if delay_range is not None:
+        lo, hi = delay_range
+        frac = F.pmod(F.xxhash64(F.col(url_col)), F.lit(10_000)) / 10_000.0
+        return F.lit(float(lo)) + frac * F.lit(float(hi - lo))
+    return F.lit(float(delay))
+
+
 def backoff_col(retry_times_col: str = "retry_times", base: float = 0.5) -> Column:
     """RetryMiddleware backoff base·2^(n-1) (middlewares.py:141)."""
     return F.lit(base) * F.pow(F.lit(2.0), (F.col(retry_times_col) - 1).cast("double"))

@@ -303,17 +303,31 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
 
     from silkworm_spark.functions.urls import canonicalize_url, host_of
 
+    have = set(fetched.columns)
+    req_cols = [c for c in
+                ("method", "headers", "params", "meta", "data", "timeout",
+                 "resp_headers")
+                if c in have]
+
     def gen(batches):
         import pyarrow as pa
 
+        map_t = pa.map_(pa.string(), pa.string())
         span_t = pa.struct(
             [("kind", pa.string()), ("text", pa.string()),
              ("media_ref", pa.string()), ("offset", pa.int32())]
         )
         child_t = pa.struct(
             [("url", pa.string()), ("host", pa.string()),
-             ("idx", pa.int32()), ("cb", pa.string())]
+             ("idx", pa.int32()), ("cb", pa.string()),
+             ("method", pa.string()), ("headers", map_t), ("params", map_t),
+             ("meta", map_t), ("data", pa.binary()), ("timeout", pa.float64()),
+             ("priority", pa.int32()), ("dont_filter", pa.bool_())]
         )
+
+        def as_dict(v):  # pyarrow MapArray.to_pylist yields (k, v) tuples
+            return dict(v) if isinstance(v, list) else v
+
         for b in batches:
             urls = b.column("url").to_pylist()
             finals = b.column("final_url").to_pylist()
@@ -323,11 +337,27 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
             cbs = b.column("callback").to_pylist()
             seqs = b.column("seq").to_pylist()
             depths = b.column("depth").to_pylist()
+            # all-null request-surface columns (the common GET-no-extras
+            # crawl) skip materialization entirely — null_count is O(1)
+            extras = {
+                c: (None if b.column(c).null_count == len(b.column(c))
+                    else b.column(c).to_pylist())
+                for c in req_cols
+            }
 
             o_url, o_kind, o_doc, o_seq, o_depth, o_status, o_cb, o_err = \
                 [], [], [], [], [], [], [], []
             s_off, s_kind, s_text, s_ref, s_idx = [0], [], [], [], []
-            c_off, c_url, c_host, c_idx, c_cb = [0], [], [], [], []
+            c_off = [0]
+            c_cols: dict[str, list] = {f.name: [] for f in child_t}
+            i_off, i_val = [0], []
+
+            def rollback():
+                del s_kind[s_off[-1]:], s_text[s_off[-1]:], \
+                    s_ref[s_off[-1]:], s_idx[s_off[-1]:]
+                for lst in c_cols.values():
+                    del lst[c_off[-1]:]
+                del i_val[i_off[-1]:]
 
             for i in range(len(urls)):
                 row = dict(
@@ -335,12 +365,18 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                     content_type=cts[i], body=bodies[i], callback=cbs[i],
                     seq=seqs[i], depth=depths[i],
                 )
+                for c in req_cols:
+                    vs = extras[c]
+                    v = vs[i] if vs is not None else None
+                    row[c] = as_dict(v) if c in (
+                        "headers", "params", "meta", "resp_headers") else v
                 cb = CALLBACKS.get(row["callback"] or "parse", parse_default)
                 kind, doc_id, err = "none", None, None
-                n_spans = n_children = 0
+                n_spans = n_children = n_items = 0
                 try:
                     for o in cb(row):
-                        if o["out_kind"] == "item":
+                        ok = o["out_kind"]
+                        if ok == "item":
                             kind = "item"
                             doc_id = canonicalize_url(row["final_url"] or row["url"])
                             for s in o["spans"]:
@@ -349,26 +385,34 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                                 s_ref.append(s["media_ref"])
                                 s_idx.append(s["offset"])
                                 n_spans += 1
-                        elif o["out_kind"] == "request" and o["child_url"]:
+                        elif ok == "request" and o["child_url"]:
                             cu = canonicalize_url(o["child_url"])
-                            c_url.append(cu)
-                            c_host.append(host_of(cu))
-                            c_idx.append(o["child_index"])
-                            c_cb.append(o.get("callback"))  # NULL ⇒ inherit
+                            c_cols["url"].append(cu)
+                            c_cols["host"].append(host_of(cu))
+                            c_cols["idx"].append(o["child_index"])
+                            c_cols["cb"].append(o.get("callback"))  # NULL ⇒ inherit
+                            c_cols["method"].append(o.get("method"))
+                            c_cols["headers"].append(o.get("headers"))
+                            c_cols["params"].append(o.get("params"))
+                            c_cols["meta"].append(o.get("meta"))
+                            c_cols["data"].append(o.get("data"))
+                            c_cols["timeout"].append(o.get("timeout"))
+                            c_cols["priority"].append(o.get("priority"))
+                            c_cols["dont_filter"].append(o.get("dont_filter"))
                             n_children += 1
+                        elif ok == "json_item":
+                            i_val.append(o["item"])
+                            n_items += 1
                 except Exception as exc:  # contain per row (engine.py:138-152)
-                    del s_kind[s_off[-1]:], s_text[s_off[-1]:], \
-                        s_ref[s_off[-1]:], s_idx[s_off[-1]:]
-                    del c_url[c_off[-1]:], c_host[c_off[-1]:], \
-                        c_idx[c_off[-1]:], c_cb[c_off[-1]:]
+                    rollback()
                     kind, doc_id, err = "error", None, f"{type(exc).__name__}: {exc}"
-                    n_spans = n_children = 0
-                if kind == "none" and n_children == 0:
-                    del s_kind[s_off[-1]:], s_text[s_off[-1]:], \
-                        s_ref[s_off[-1]:], s_idx[s_off[-1]:]
+                    n_spans = n_children = n_items = 0
+                if kind == "none" and n_children == 0 and n_items == 0:
+                    rollback()
                     continue
                 s_off.append(s_off[-1] + n_spans)
                 c_off.append(c_off[-1] + n_children)
+                i_off.append(i_off[-1] + n_items)
                 o_url.append(row["url"]); o_kind.append(kind)
                 o_doc.append(doc_id); o_seq.append(row["seq"])
                 o_depth.append(row["depth"]); o_status.append(row["status"])
@@ -382,17 +426,27 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                     fields=list(span_t),
                 ),
             )
+            def col_arr(vals, typ):
+                # links rarely override the request surface: an
+                # all-None column becomes a null bitmap, no conversion
+                if not any(v is not None for v in vals):
+                    return pa.nulls(len(vals), typ)
+                return pa.array(vals, typ)
+
             children_arr = pa.ListArray.from_arrays(
                 pa.array(c_off, pa.int32()),
                 pa.StructArray.from_arrays(
-                    [pa.array(c_url, pa.string()), pa.array(c_host, pa.string()),
-                     pa.array(c_idx, pa.int32()), pa.array(c_cb, pa.string())],
+                    [col_arr(c_cols[f.name], f.type) for f in child_t],
                     fields=list(child_t),
                 ),
+            )
+            items_arr = pa.ListArray.from_arrays(
+                pa.array(i_off, pa.int32()), pa.array(i_val, pa.string())
             )
             yield pa.RecordBatch.from_arrays(
                 [pa.array(o_url, pa.string()), pa.array(o_kind, pa.string()),
                  spans_arr, pa.array(o_doc, pa.string()), children_arr,
+                 items_arr,
                  pa.array(o_seq, pa.int64()), pa.array(o_depth, pa.int32()),
                  pa.array(o_status, pa.int32()), pa.array(o_cb, pa.string()),
                  pa.array(o_err, pa.string())],

@@ -19,13 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-RETRY_HTTP_CODES = [500, 502, 503, 504, 522, 524, 408, 429]
+from silkworm_spark.schemas import FRONTIER_COLS as _FRONTIER_COLS
 
-_FRONTIER_COLS = [
-    "url", "url_hash", "host", "depth", "parent_seq", "child_index", "seq",
-    "callback", "priority", "dont_filter", "retry_times", "not_before",
-    "round_added",
-]
+RETRY_HTTP_CODES = [500, 502, 503, 504, 522, 524, 408, 429]
 
 
 def split_retries(
@@ -61,5 +57,8 @@ def split_retries(
         new_times.cast("int").alias("retry_times"),
         (F.lit(float(vtime)) + delay).alias("not_before"),
         "round_added",
+        # the retry re-enqueues the SAME Request (middlewares.py:137:
+        # request.replace(dont_filter=True)) — full surface preserved
+        "method", "headers", "params", "meta", "data", "timeout",
     ).select(*_FRONTIER_COLS)
     return ok, retry_rows, gave_up

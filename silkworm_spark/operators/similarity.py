@@ -101,25 +101,44 @@ def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     n_planes: int = 6,
+    n_tables: int = 4,
     seed: int = 7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine ≥ τ, LSH-bucketed: only pairs in
-    the same sign-bucket are compared (banding bounds the join)."""
+    """Near-duplicate pairs by cosine ≥ τ, LSH-bucketed: only pairs
+    sharing a sign-bucket in ≥1 of ``n_tables`` independent hyperplane
+    tables are compared (the multi-table trick: each table misses a
+    true pair with prob (1-p^k); L tables miss with (1-p^k)^L, so
+    recall → 1 exponentially in L while the join stays bucket-bounded).
+    Precision is exact — every candidate passes the true cosine
+    post-filter, so the output is always a SUBSET of the brute-force
+    pairs; only recall is approximate."""
     first = embeddings.select(F.col(vec_col)).first()
     dim = len(first[0])
-    planes = hyperplanes(n_planes, dim, seed)
     v = F.col(vec_col).cast("array<double>")
-    e = embeddings.withColumn("bucket", lsh_bucket_col(v, planes))
+    # table t's bucket is prefixed with t so tables never cross-match
+    buckets = F.array(*[
+        F.concat_ws(
+            ":", F.lit(t),
+            lsh_bucket_col(v, hyperplanes(n_planes, dim, seed + 101 * t)).cast("string"),
+        )
+        for t in range(n_tables)
+    ])
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
+    )
     a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
     b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
-    cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
-    return (
+    cand = (
         a.join(b, "bucket")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cosine", F.round(cos, 4))
+        .select("a", "va", "b", "vb")
+        .distinct()
+    )
+    cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    return (
+        cand.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
-        .distinct()
     )

@@ -30,7 +30,9 @@ from pyspark.sql.types import StructType
 from silkworm_spark import schemas
 from silkworm_spark.plans.bloom import ShardedBloom
 
-_APPEND_TABLES = ("seen", "documents", "metrics", "fetch_log", "frontier_delta", "consumed")
+_APPEND_TABLES = (
+    "seen", "documents", "items", "metrics", "fetch_log", "frontier_delta", "consumed"
+)
 _SNAPSHOT_TABLES = ("host_state", "robots")
 
 TABLE_SCHEMAS: dict[str, StructType] = {
@@ -38,6 +40,7 @@ TABLE_SCHEMAS: dict[str, StructType] = {
     "consumed": StructType([T.StructField("seq", T.LongType(), False)]),
     "seen": schemas.SEEN_SCHEMA,
     "documents": schemas.DOCUMENTS_SCHEMA,
+    "items": schemas.ITEMS_SCHEMA,
     "metrics": schemas.METRICS_SCHEMA,
     "host_state": schemas.HOST_STATE_SCHEMA,
     "robots": schemas.ROBOTS_SCHEMA,

@@ -60,13 +60,13 @@ from silkworm_spark.operators.retry import RETRY_HTTP_CODES
 from silkworm_spark.operators.scheduler import dequeue_round
 from silkworm_spark.plans.bloom import ShardedBloom
 from silkworm_spark.plans.checkpoint import CrawlCheckpoint, _empty_df
-from silkworm_spark.schemas import HOST_STATE_SCHEMA, ROBOTS_SCHEMA
-
-_FRONTIER_COLS = [
-    "url", "url_hash", "host", "depth", "parent_seq", "child_index", "seq",
-    "callback", "priority", "dont_filter", "retry_times", "not_before",
-    "round_added",
-]
+from silkworm_spark.schemas import (
+    FRONTIER_COLS as _FRONTIER_COLS,
+    FRONTIER_SCHEMA,
+    HOST_STATE_SCHEMA,
+    REQUEST_EXTRA_COLS,
+    ROBOTS_SCHEMA,
+)
 
 
 @dataclass
@@ -86,12 +86,25 @@ class CrawlConfig:
     target_rows_per_partition: int = 1000  # salt granularity per host
     min_rows_per_partition: int = 64  # floor before shrinking task width
     max_depth: int | None = None
+    # global page cap (reference examples/sitemap_spider.py:189-201
+    # counts pages_scraped under a lock; the distributed analog caps
+    # cumulative dequeues — resume-exact via the manifest counter)
+    max_pages: int | None = None
     html_max_bytes: int = 5_000_000  # parse cap (reference engine.py:37)
     horizon_factor: int = 4  # dequeue scans ~factor*budget seqs (see scheduler)
     fetch_broadcast_max_rows: int = 2_000_000  # gate on the batch-side broadcast
     # seen-set size up to which dedup uses a map-side broadcast
     # anti-join; beyond it, the sharded-bloom prefilter path
     seen_broadcast_max_rows: int = 4_000_000
+    # request middlewares (reference middlewares.py:30-96,164-263):
+    # UA rotation + proxy pool feed the live fetch; the per-request
+    # delay paces enqueued children on the virtual clock
+    user_agents: list | None = None
+    proxies: list | None = None
+    default_headers: dict | None = None
+    request_timeout: float = 30.0  # reference http.py:34 default
+    request_delay: float = 0.0
+    request_delay_range: tuple | None = None
 
 
 @dataclass
@@ -163,6 +176,18 @@ class CrawlEngine:
             if "callback" in seeds.columns
             else F.lit("parse")
         )
+        # optional request-surface seed columns (method/headers/params/
+        # meta/data/timeout — reference start_requests can build full
+        # Requests, spiders.py:59-61); absent ⇒ NULL (GET, no extras)
+        extras = [
+            (F.col(c) if c in seeds.columns
+             else F.lit(None).cast(FRONTIER_SCHEMA[c].dataType)).alias(c)
+            for c in REQUEST_EXTRA_COLS
+        ]
+        dfcol = (
+            F.coalesce(F.col("dont_filter"), F.lit(False))
+            if "dont_filter" in seeds.columns else F.lit(False)
+        )
         frontier = s.select(
             "url", "url_hash", "host",
             F.lit(0).alias("depth"),
@@ -170,10 +195,11 @@ class CrawlEngine:
             F.col("seq").cast("long").alias("seq"),
             cb.alias("callback"),
             F.col("priority").cast("int").alias("priority"),
-            F.lit(False).alias("dont_filter"),
+            dfcol.alias("dont_filter"),
             F.lit(0).alias("retry_times"),
             F.lit(0.0).alias("not_before"),
             F.lit(0).alias("round_added"),
+            *extras,
         )
         assigned, n = assign_dense_seq(
             frontier.drop("seq"), ["parent_seq", "child_index"], start=0
@@ -201,7 +227,8 @@ class CrawlEngine:
             bloom=bloom if cfg.use_bloom else None,
             bloom_update=seen if cfg.use_bloom else None,
             known_counts={"seen": n, "frontier_delta": n},
-            extras={"uniform_priority": uniform, "seq_floor": 0, "n_seen": n},
+            extras={"uniform_priority": uniform, "seq_floor": 0, "n_seen": n,
+                    "n_fetched": 0},
         )
         frontier.unpersist()
 
@@ -245,6 +272,7 @@ class CrawlEngine:
         uniform_priority = bool(self.ckpt.manifest.get("uniform_priority", False))
         seq_floor = int(self.ckpt.manifest.get("seq_floor", 0))
         n_seen = self.ckpt.manifest.get("n_seen")  # None (old ckpt) ⇒ bloom path
+        n_fetched = int(self.ckpt.manifest.get("n_fetched", 0))
 
         n_frontier: int | None = None  # tracked incrementally after round 1
         # max_rounds bounds the *crawl*, not this run() call — a resumed
@@ -266,11 +294,16 @@ class CrawlEngine:
                 _t[name] = round((now - _tp) * 1000.0, 1)
                 _tp = now
 
+            budget = cfg.round_budget
+            if cfg.max_pages is not None:
+                budget = min(budget, cfg.max_pages - n_fetched)
+                if budget <= 0:
+                    break  # reached the global page cap
             # J1 (+J1b when over budget)
             dq = dequeue_round(
                 frontier, robots, host_state, vtime,
                 round_seconds=cfg.round_seconds,
-                round_budget=cfg.round_budget,
+                round_budget=budget,
                 per_host_cap=cfg.per_host_cap,
                 num_partitions=cfg.num_partitions,
                 target_rows_per_partition=cfg.target_rows_per_partition,
@@ -309,9 +342,22 @@ class CrawlEngine:
                     broadcast_max_rows=cfg.fetch_broadcast_max_rows,
                 ).cache()
             else:
-                # live fetch: salted per-host layout BEFORE the I/O stage
-                # (politeness pacing happens inside each Arrow batch)
-                raw_fetched = live_fetch(batch.repartition(nparts, "part")).cache()
+                # live fetch: request middlewares (UA/proxy columns,
+                # reference engine.py:94-97 order) then salted per-host
+                # layout BEFORE the I/O stage (politeness pacing happens
+                # inside each Arrow batch)
+                from silkworm_spark.operators.middleware import (
+                    apply_request_middlewares,
+                )
+
+                prepared = apply_request_middlewares(
+                    batch, cfg.user_agents, cfg.proxies
+                )
+                raw_fetched = live_fetch(
+                    prepared.repartition(nparts, "part"),
+                    timeout_s=cfg.request_timeout,
+                    default_headers=cfg.default_headers,
+                ).cache()
 
             is_retryable = F.coalesce(
                 F.col("status").isin(RETRY_HTTP_CODES), F.lit(False)
@@ -345,11 +391,13 @@ class CrawlEngine:
             parse_out = run_parse_stage(parse_in).cache()
             # J2: materializes the fetch AND parse caches in one job
             # (the python stage pipelines with the fetch join) and
-            # yields the item/error counts
-            parse_counts = {
-                r["out_kind"]: r["cnt"]
-                for r in parse_out.groupBy("out_kind").agg(F.count("*").alias("cnt")).collect()
-            }
+            # yields the span-item/error/json-item counts
+            pc_rows = parse_out.groupBy("out_kind").agg(
+                F.count("*").alias("cnt"),
+                F.sum(F.size("items")).alias("jitems"),
+            ).collect()
+            parse_counts = {r["out_kind"]: r["cnt"] for r in pc_rows}
+            n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
             tick("parse")
 
             # body-free metadata twin off the now-warm fetch cache: the
@@ -391,6 +439,15 @@ class CrawlEngine:
                 "doc_id", "spans", "status", "depth", "seq",
                 F.lit(round_no).alias("round"),
             )
+            # free-form JSON items → the pipelines' input stream
+            # (reference engine.py:200-268 → pipelines.py connectors)
+            json_items = (
+                parse_out.filter(F.size("items") > 0)
+                .select(
+                    F.lit(round_no).alias("round"), "seq", "url",
+                    F.posexplode("items").alias("item_index", "item"),
+                )
+            )
 
             children = (
                 parse_out.filter(F.size("children") > 0)
@@ -409,16 +466,33 @@ class CrawlEngine:
                     # explicit child callback wins; else inherit the parent's
                     # (reference response.follow, response.py:271-284)
                     F.coalesce(F.col("c.cb"), F.col("callback"), F.lit("parse")).alias("callback"),
-                    F.lit(0).alias("priority"),
-                    F.lit(False).alias("dont_filter"),
+                    # request-surface overrides from follow(**kwargs) /
+                    # yielded Requests; NULL means default, never inherit
+                    # (a reference child Request starts fresh)
+                    F.coalesce(F.col("c.priority"), F.lit(0)).alias("priority"),
+                    F.coalesce(F.col("c.dont_filter"), F.lit(False)).alias("dont_filter"),
                     F.lit(0).alias("retry_times"),
                     F.lit(0.0).alias("not_before"),
                     F.lit(round_no).alias("round_added"),
+                    F.col("c.method").alias("method"),
+                    F.col("c.headers").alias("headers"),
+                    F.col("c.params").alias("params"),
+                    F.col("c.meta").alias("meta"),
+                    F.col("c.data").alias("data"),
+                    F.col("c.timeout").alias("timeout"),
                 )
                 .select(*_FRONTIER_COLS)
             )
             if cfg.max_depth is not None:
                 children = children.filter(F.col("depth") <= cfg.max_depth)
+            if cfg.request_delay or cfg.request_delay_range is not None:
+                from silkworm_spark.operators.middleware import request_delay_col
+
+                children = children.withColumn(
+                    "not_before",
+                    F.lit(float(vtime))
+                    + request_delay_col(cfg.request_delay, cfg.request_delay_range),
+                )
             # retries sort before children of later parents: child_index 0 vs 1+
             candidates = children.unionByName(
                 retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
@@ -457,7 +531,7 @@ class CrawlEngine:
             n_retries = sum(r["retries"] for r in part_rows)
             n_gave_up = sum(r["gave_up"] for r in part_rows)
             n_oversize = sum(r["dropped_oversize"] for r in part_rows)
-            n_items = parse_counts.get("item", 0)
+            n_items = parse_counts.get("item", 0) + n_json_items
             n_err = sum(r["errors"] for r in part_rows) + parse_counts.get("error", 0)
             elapsed_ms = (perf_counter() - rt0) * 1000.0
             metric_tuples = [
@@ -481,6 +555,7 @@ class CrawlEngine:
                 appends={
                     "seen": seen_new,
                     "documents": documents,
+                    "items": json_items,
                     "fetch_log": fetch_log,
                     "frontier_delta": new_rows,
                     "consumed": consumed,
@@ -491,7 +566,8 @@ class CrawlEngine:
                 bloom_update=seen_new if cfg.use_bloom else None,
                 known_counts={
                     "seen": n_new - n_retries,
-                    "documents": n_items,
+                    "documents": n_items - n_json_items,
+                    "items": n_json_items,
                     "fetch_log": n_batch,
                     "frontier_delta": n_new,
                     "consumed": n_batch + n_denied,
@@ -500,6 +576,7 @@ class CrawlEngine:
                     "uniform_priority": uniform_priority,
                     "seq_floor": seq_floor,
                     "n_seen": (n_seen or 0) + (n_new - n_retries),
+                    "n_fetched": n_fetched + n_batch,
                 },
             )
             tick("commit")
@@ -519,6 +596,7 @@ class CrawlEngine:
                      timings=_t)
             )
             n_frontier = n_frontier - n_batch - n_denied + n_new
+            n_fetched += n_batch
             if n_seen is not None:
                 n_seen += n_new - n_retries
 
@@ -541,6 +619,11 @@ class CrawlEngine:
 
     def seen(self) -> DataFrame:
         return self.ckpt.read("seen")
+
+    def items(self) -> DataFrame:
+        """Free-form JSON items yielded by spider callbacks (the
+        reference pipelines' input stream)."""
+        return self.ckpt.read("items")
 
     def metrics(self) -> DataFrame:
         return self.ckpt.read("metrics")

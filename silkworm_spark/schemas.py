@@ -36,6 +36,13 @@ DOCUMENTS_SCHEMA = T.StructType(
 # callback (a function pointer in the reference) is a *name column* dispatched
 # through the parse registry; the FIFO dequeue position is the data column
 # `seq` (execution order is never an execution property here — SURVEY.md §3.4).
+# The tail fields mirror the rest of the reference Request surface
+# (request.py:14-25): method/headers/params/meta/data/timeout. They are
+# nullable (NULL method ⇒ GET) so the common GET-no-extras row costs
+# nothing in parquet; `params` merge into the URL at FETCH time, never
+# at enqueue — the URL-seen key is the raw request URL, exactly like
+# the reference (engine.py:99-106 keys req.url; http.py:396-406 merges
+# in _build_url).
 FRONTIER_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
@@ -51,8 +58,19 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("retry_times", T.IntegerType(), False),
         T.StructField("not_before", T.DoubleType(), False),  # virtual seconds
         T.StructField("round_added", T.IntegerType(), False),
+        T.StructField("method", T.StringType()),  # NULL ⇒ GET
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("params", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("data", T.BinaryType()),  # request body (POST/PUT)
+        T.StructField("timeout", T.DoubleType()),  # per-request override
     ]
 )
+
+FRONTIER_COLS = [f.name for f in FRONTIER_SCHEMA.fields]
+
+# request-surface fields riding along with defaults when absent
+REQUEST_EXTRA_COLS = ["method", "headers", "params", "meta", "data", "timeout"]
 
 # Authoritative URL-seen set (reference engine.py:60,99-106: exact,
 # keyed on URL string only; insert at ENQUEUE time).
@@ -75,6 +93,10 @@ FETCH_RESULT_SCHEMA = T.StructType(
         T.StructField("body", T.BinaryType()),
         T.StructField("redirect_times", T.IntegerType()),
         T.StructField("error", T.StringType()),
+        # normalized (lowercase-key) response headers, reference
+        # http.py:323-364; NULL in offline mode (the fixture carries
+        # only content_type)
+        T.StructField("resp_headers", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -156,6 +178,18 @@ CHILD_TYPE = T.StructType(
         T.StructField("host", T.StringType()),
         T.StructField("idx", T.IntegerType()),  # yield order within parent
         T.StructField("cb", T.StringType()),  # explicit callback; NULL = inherit
+        # response.follow(**kwargs) overrides (reference
+        # response.py:271-284 forwards them into the child Request);
+        # NULLs mean "default", NOT "inherit" — a reference Request's
+        # method/headers/... never inherit from the parent response
+        T.StructField("method", T.StringType()),
+        T.StructField("headers", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("params", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("data", T.BinaryType()),
+        T.StructField("timeout", T.DoubleType()),
+        T.StructField("priority", T.IntegerType()),  # NULL ⇒ 0
+        T.StructField("dont_filter", T.BooleanType()),  # NULL ⇒ false
     ]
 )
 
@@ -166,10 +200,27 @@ PARSE_OUT_SCHEMA = T.StructType(
         T.StructField("spans", T.ArrayType(SPAN_TYPE)),
         T.StructField("doc_id", T.StringType()),  # canonical final_url (items)
         T.StructField("children", T.ArrayType(CHILD_TYPE)),
+        # free-form JSON items yielded by spider callbacks (reference
+        # engine.py:200-268 routes non-Request yields to the item
+        # pipelines; arbitrary dicts can't be a fixed Spark type, so
+        # they travel JSON-encoded, one string per yielded item)
+        T.StructField("items", T.ArrayType(T.StringType())),
         T.StructField("seq", T.LongType()),
         T.StructField("depth", T.IntegerType()),
         T.StructField("status", T.IntegerType()),
         T.StructField("callback", T.StringType()),
         T.StructField("error", T.StringType()),
+    ]
+)
+
+# Sink table for free-form JSON items (reference item pipelines input,
+# pipelines.py:388+ — every connector consumes exactly this stream).
+ITEMS_SCHEMA = T.StructType(
+    [
+        T.StructField("round", T.IntegerType(), False),
+        T.StructField("seq", T.LongType(), False),  # fetch order of the parent
+        T.StructField("url", T.StringType(), False),  # source page
+        T.StructField("item_index", T.IntegerType(), False),  # yield order
+        T.StructField("item", T.StringType(), False),  # JSON-encoded
     ]
 )

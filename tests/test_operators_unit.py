@@ -19,7 +19,9 @@ def _frontier_row(url, seq, host="h0", priority=0, dont_filter=False,
     return dict(url=url, url_hash=hash(url) % (1 << 40), host=host, depth=0,
                 parent_seq=parent_seq, child_index=child_index, seq=seq,
                 callback="parse", priority=priority, dont_filter=dont_filter,
-                retry_times=retry_times, not_before=not_before, round_added=0)
+                retry_times=retry_times, not_before=not_before, round_added=0,
+                method=None, headers=None, params=None, meta=None,
+                data=None, timeout=None)
 
 
 # ---- bloom filter ----
