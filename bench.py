@@ -57,10 +57,10 @@ os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(BENCH_TMP, "local"))
 os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
 
 # crawl workload: pre-populated frontier (seeds) over a synthetic web
-N_PAGES = 40_000 if QUICK else 300_000
+N_PAGES = 40_000 if QUICK else 700_000
 N_HOSTS = 40
-N_SEEDS = 20_000 if QUICK else 250_000
-ROUND_BUDGET = 10_000 if QUICK else 100_000
+N_SEEDS = 20_000 if QUICK else 620_000
+ROUND_BUDGET = 10_000 if QUICK else 300_000
 MAX_ROUNDS = 2
 MIN_SPANS, SPAN_SPREAD = 60, 80  # avg ~100 spans/page
 
@@ -126,7 +126,7 @@ def crawl_throughput(cores: int) -> dict:
 
         ckpt = tempfile.mkdtemp(prefix=f"run_{cores}_", dir=BENCH_TMP)
         engine = CrawlEngine(spark, ckpt, cfg, web=web)
-        engine._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}")
+        engine._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}_v2")
         seeds = spark.createDataFrame(
             [dict(url=url_of(i, N_HOSTS, 42), seq=k, priority=0)
              for k, i in enumerate(range(N_SEEDS))],
@@ -192,6 +192,40 @@ def query_times(cores: int) -> dict[str, float]:
     return times
 
 
+import re as _re
+
+_CEIL_PAT = _re.compile(r"<(a|p|img)\b[^>]*>")
+_CEIL_DOC = ("<p>" + "word " * 40 + "</p><a href='http://h/x'>l</a>"
+             "<img src='/i.png'>") * 30
+
+
+def _ceiling_work(k: int) -> int:  # module-level: mp.Pool must pickle it
+    t = 0
+    for _ in range(k):
+        t += len(_CEIL_PAT.findall(_CEIL_DOC))
+    return t
+
+
+def machine_ceiling(n: int = SMALL_CORES, n4: int = BIG_CORES) -> float:
+    """The BOX's own N→4N scaling on pure-Python multiprocessing (no
+    Spark, no JVM): regex work over constant total input. This is the
+    physical ceiling any Python-CPU-bound engine can reach here — the
+    sandbox is a shared hypervisor whose measured ceiling swings
+    between ~0.70 and ~0.90 with neighbor load. Reported alongside the
+    engine number so the efficiency is interpretable."""
+    import multiprocessing as mp
+
+    def run(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = perf_counter()
+            p.map(_ceiling_work, [4000] * 96)
+            return perf_counter() - t0
+
+    a = min(run(n) for _ in range(2))
+    b = min(run(n4) for _ in range(2))
+    return round((a / b) / (n4 / n), 3)
+
+
 def frontier_flatness(cores: int) -> dict:
     """Round cost must stay ~flat as the frontier grows with the budget
     fixed (the O(frontier)→O(budget) dequeue property): same budget,
@@ -215,7 +249,7 @@ def frontier_flatness(cores: int) -> dict:
                             num_partitions=max(8, cores)),
                 web=web,
             )
-            eng._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}")
+            eng._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}_v2")
             eng._resolved_web(eng._resolved_path)
             seeds = spark.createDataFrame(
                 [dict(url=url_of(i, N_HOSTS, 42), seq=k, priority=0)
@@ -241,10 +275,14 @@ def main() -> None:
     # sandbox hypervisor injects multi-minute steal storms that would
     # otherwise bias whichever single leg they landed on
     legs = {SMALL_CORES: [], BIG_CORES: []}
+    ceilings = []
     for cores in (SMALL_CORES, BIG_CORES, SMALL_CORES, BIG_CORES):
         legs[cores].append(crawl_throughput(cores))
+        # box ceiling sampled between legs — same contention window
+        ceilings.append(machine_ceiling())
     res_small = max(legs[SMALL_CORES], key=lambda r: r["steady_urls_per_sec"])
     res_big = max(legs[BIG_CORES], key=lambda r: r["steady_urls_per_sec"])
+    ceiling = max(ceilings)
     factor = BIG_CORES / SMALL_CORES
     eff = (res_big["urls_per_sec"] / res_small["urls_per_sec"]) / factor
     eff_steady = (res_big["steady_urls_per_sec"] / res_small["steady_urls_per_sec"]) / factor
@@ -272,6 +310,14 @@ def main() -> None:
             "scaling_efficiency_n_to_4n": round(eff_steady, 3),
             "scaling_efficiency_full_run": round(eff, 3),
             "scaling_efficiency_parse_stage": round(eff_parse, 3),
+            # the shared box's own pure-python N→4N ceiling, measured in
+            # the same window (best of 4 samples interleaved with the
+            # legs), and the engine's efficiency relative to it
+            "machine_python_ceiling": ceiling,
+            "machine_ceiling_samples": ceilings,
+            "scaling_efficiency_vs_ceiling": round(
+                min(1.0, eff_steady / ceiling), 3
+            ) if ceiling else None,
             "frontier_flatness": flat,
         },
     }

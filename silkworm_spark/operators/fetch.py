@@ -137,7 +137,7 @@ def offline_fetch(batch: DataFrame, web: DataFrame, max_redirects: int = 10) -> 
 
 
 RESOLVED_COLS = [
-    "url", "final_url", "status", "content_type", "body",
+    "url", "final_url", "status", "content_type", "body", "body_len",
     "redirect_times", "error", "attempts_until_ok",
 ]
 
@@ -199,7 +199,9 @@ def resolve_web(web: DataFrame, max_redirects: int = 10) -> DataFrame:
     out = finished[0]
     for d in finished[1:]:
         out = out.unionByName(d)
-    out = out.select(*RESOLVED_COLS)
+    # body_len precomputed so per-round metrics/retry plans never touch
+    # the binary column — their scans column-prune the bodies away
+    out = out.withColumn("body_len", F.length("body")).select(*RESOLVED_COLS)
     for c in cached:
         c.unpersist()
     return out
@@ -210,14 +212,25 @@ def offline_fetch_resolved(
     resolved: DataFrame,
     n_batch: int | None = None,
     broadcast_max_rows: int = 2_000_000,
+    include_body: bool = True,
 ) -> DataFrame:
     """Per-round fetch against the precomputed resolution table: one
     equi-join, then the retryable-status rule
-    (status=200 once retry_times >= attempts_until_ok)."""
+    (status=200 once retry_times >= attempts_until_ok).
+
+    ``include_body=False`` builds the body-FREE metadata twin: the
+    parquet scan column-prunes the binary away (``body_len`` stands in
+    for length checks), so the metrics/retry plan re-joins at a tiny
+    fraction of the parse join's bytes instead of forcing a 100s-of-MB
+    in-memory cache of page bodies."""
+    has_len = "body_len" in resolved.columns
+    body_cols = [F.col("body"), F.col("content_type")] if include_body else []
     r = resolved.select(
         F.col("url").alias("r_url"), F.col("final_url"),
-        F.col("status").alias("r_status"), F.col("content_type"),
-        F.col("body"), F.col("redirect_times"), F.col("error").alias("r_error"),
+        F.col("status").alias("r_status"), *body_cols,
+        *( [F.col("body_len")] if has_len
+           else [F.length("body").alias("body_len")] ),
+        F.col("redirect_times"), F.col("error").alias("r_error"),
         F.col("attempts_until_ok"),
     )
     # Matches: INNER join with the (small, body-free) batch broadcast —
@@ -242,11 +255,17 @@ def offline_fetch_resolved(
         F.lit(200),
     ).otherwise(F.col("r_status"))
     null_hdrs = F.lit(None).cast("map<string,string>").alias("resp_headers")
+    out_body = ["content_type", "body"] if include_body else []
+    miss_body = (
+        [F.lit(None).cast("string").alias("content_type"),
+         F.lit(None).cast("binary").alias("body")]
+        if include_body else []
+    )
     ok_rows = matched.select(
         *_CARRY,
         F.coalesce(F.col("final_url"), F.col("_fetch")).alias("final_url"),
         eff_status.alias("status"),
-        "content_type", "body",
+        *out_body, "body_len",
         F.coalesce(F.col("redirect_times"), F.lit(0)).alias("redirect_times"),
         F.col("r_error").alias("error"),
         null_hdrs,
@@ -258,8 +277,8 @@ def offline_fetch_resolved(
         *_CARRY,
         F.col("_fetch").alias("final_url"),
         F.lit(None).cast("int").alias("status"),
-        F.lit(None).cast("string").alias("content_type"),
-        F.lit(None).cast("binary").alias("body"),
+        *miss_body,
+        F.lit(None).cast("int").alias("body_len"),
         F.lit(0).alias("redirect_times"),
         F.lit("fetch_error").alias("error"),
         null_hdrs,

@@ -74,6 +74,76 @@ class DequeueResult:
             self._scored.unpersist()
 
 
+def _dequeue_fifo(
+    eligible: DataFrame,
+    host_state: DataFrame,
+    keep_cols: list,
+    vtime: float,
+    round_budget: int,
+    horizon: tuple[int, int, int] | None,
+) -> DequeueResult:
+    """Politeness-free FIFO dequeue: budget-th smallest eligible seq in
+    one narrow job, batch as a lazy filter (no cache, no window). Exact
+    equivalence with the general path is asserted by
+    tests/test_operators_unit.py::test_dequeue_fifo_fast_path_equals_general."""
+    spark = eligible.sparkSession
+    floor, seq_next, factor = horizon if horizon else (0, None, 0)
+    h_cap: int | None = None
+    if horizon is not None:
+        h_cap = floor + factor * max(1, round_budget)
+        if h_cap >= seq_next:
+            h_cap = None
+
+    while True:
+        e = eligible.filter(F.col("seq") < F.lit(h_cap)) if h_cap is not None else eligible
+        st = (
+            e.select("seq").orderBy("seq").limit(round_budget)
+            .agg(F.count("*").alias("n"), F.min("seq").alias("mn"), F.max("seq").alias("mx"))
+            .first()
+        )
+        n_batch = int(st["n"] or 0)
+        if h_cap is None or n_batch >= round_budget:
+            break
+        h_cap = floor + (h_cap - floor) * 2  # horizon under-filled: widen
+        if h_cap >= seq_next:
+            h_cap = None
+
+    kth = st["mx"]
+    batch = e.filter(F.col("seq") <= F.lit(kth)) if n_batch else e.filter(F.lit(False))
+    # no host-locality requirement without politeness: salt uniformly
+    batch = batch.withColumn(
+        "part", F.pmod(F.xxhash64("url"), F.lit(1024)).cast("int")
+    )
+    # floor for the next round's horizon: everything ≤ kth is consumed
+    if n_batch and (h_cap is None or n_batch >= round_budget):
+        floor_next = int(kth) + 1
+    elif h_cap is not None:
+        floor_next = int(h_cap)
+    else:
+        floor_next = int(floor)
+
+    taken = batch.groupBy("host").agg(F.count("*").alias("taken"))
+    prev = host_state.select("host", "fetched", "next_free")
+    new_host_state = prev.join(taken, on="host", how="full").select(
+        "host",
+        (F.coalesce(F.col("fetched"), F.lit(0))
+         + F.coalesce(F.col("taken"), F.lit(0))).alias("fetched"),
+        F.coalesce(F.col("next_free"), F.lit(float(vtime))).alias("next_free"),
+    )
+    empty = batch.filter(F.lit(False)).select(*keep_cols)
+    return DequeueResult(
+        batch=batch.select(*keep_cols, "part"),
+        denied=empty,
+        new_host_state=new_host_state,
+        host_counts=taken,
+        n_batch=n_batch,
+        n_denied=0,
+        seq_bounds=(int(st["mn"]), int(kth)) if n_batch else None,
+        floor_next=floor_next,
+        _scored=None,
+    )
+
+
 def dequeue_round(
     frontier: DataFrame,
     robots: DataFrame,
@@ -85,14 +155,29 @@ def dequeue_round(
     num_partitions: int | None = None,
     target_rows_per_partition: int = 1000,
     horizon: tuple[int, int, int] | None = None,
+    no_politeness: bool = False,
 ) -> DequeueResult:
     """``horizon`` = (seq_floor, seq_next, factor) enables seq-horizon
     pruning (see module docstring); pass None when row priorities are
-    not uniform — pruning would then be inexact."""
+    not uniform — pruning would then be inexact.
+
+    ``no_politeness`` (caller guarantees: robots table EMPTY, uniform
+    priority, no per-host cap) switches to the provably-equivalent
+    FIFO fast path: with no delays, budgets, or disallows, every
+    per-host cap is infinite and ranking reduces to "the round_budget
+    smallest eligible seqs" — ONE TakeOrdered job instead of the
+    window + agg + kth chain (at 16 cores that chain is ~1.5-2 s of
+    pure fixed cost per round; a real scheduler with zero politeness
+    rules loaded would do exactly this)."""
     window_end = vtime + round_seconds
 
     eligible = frontier.filter(F.col("not_before") <= F.lit(vtime))
     keep_cols = frontier.columns
+
+    if no_politeness:
+        return _dequeue_fifo(
+            eligible, host_state, keep_cols, vtime, round_budget, horizon
+        )
 
     rb = F.broadcast(
         robots.select(

@@ -67,3 +67,166 @@ SINKS = {
     "csv": write_csv,
     "parquet": write_parquet,
 }
+
+
+# ---- single-writer / service sinks (reference pipelines.py:388-2929) ----
+#
+# The reference's embedded-DB and feed pipelines are SERIAL writers by
+# nature (one sqlite/duckdb connection, one XML file). Their Spark
+# analogs drain the DataFrame through the driver in Arrow batches —
+# the right shape for an embedded single-writer target; distributed
+# fan-in sinks (JDBC servers, ES, Mongo, S3) remain `df.write`
+# connector swaps and are out of scope in this sandbox (no jars, no
+# network).
+
+
+def _json_rows(df: DataFrame):
+    """Arrow-batched driver-side iterator of dicts (no per-row JVM
+    round trips — toLocalIterator on the JSON projection)."""
+    import json as _json
+
+    for row in df.select(F.to_json(F.struct(*df.columns)).alias("j")).toLocalIterator():
+        yield _json.loads(row["j"])
+
+
+def write_sqlite(df: DataFrame, path: str, table: str = "items",
+                 spider: str = "spark") -> int:
+    """SQLitePipeline (pipelines.py:468-512): items JSON-encoded into
+    (id, spider, data) — same schema, same single-connection write."""
+    import json as _json
+    import sqlite3
+
+    conn = sqlite3.connect(path)
+    try:
+        conn.execute(
+            f"CREATE TABLE IF NOT EXISTS {table} "
+            "(id INTEGER PRIMARY KEY AUTOINCREMENT, spider TEXT NOT NULL, "
+            "data TEXT NOT NULL)"
+        )
+        n = 0
+        cur = conn.cursor()
+        for item in _json_rows(df):
+            cur.execute(
+                f"INSERT INTO {table} (spider, data) VALUES (?, ?)",
+                (spider, _json.dumps(item, ensure_ascii=False)),
+            )
+            n += 1
+        conn.commit()
+        return n
+    finally:
+        conn.close()
+
+
+def write_duckdb(df: DataFrame, path: str, table: str = "items") -> int:
+    """DuckDBPipeline (pipelines.py:2838-2929), upgraded from row-wise
+    JSON inserts to one Arrow hand-off: DuckDB ingests the DataFrame's
+    Arrow table zero-copy."""
+    import duckdb
+
+    tbl = df.toArrow()  # driver-side Arrow table (Spark 4)
+    conn = duckdb.connect(path)
+    try:
+        conn.register("_spark_arrow", tbl)
+        conn.execute(f"CREATE TABLE IF NOT EXISTS {table} AS "
+                     "SELECT * FROM _spark_arrow WHERE 1=0")
+        conn.execute(f"INSERT INTO {table} SELECT * FROM _spark_arrow")
+        conn.unregister("_spark_arrow")
+        return tbl.num_rows
+    finally:
+        conn.close()
+
+
+def write_xml(df: DataFrame, path: str, root_element: str = "items",
+              item_element: str = "item") -> int:
+    """XMLPipeline (pipelines.py:514-576): one <item> element per row,
+    nested dicts/lists as nested elements."""
+    from xml.sax.saxutils import escape
+
+    def node(tag: str, v, depth: int) -> str:
+        pad = "  " * depth
+        if isinstance(v, dict):
+            inner = "".join(node(k, x, depth + 1) for k, x in v.items())
+            return f"{pad}<{tag}>\n{inner}{pad}</{tag}>\n"
+        if isinstance(v, list):
+            inner = "".join(node("value", x, depth + 1) for x in v)
+            return f"{pad}<{tag}>\n{inner}{pad}</{tag}>\n"
+        s = "" if v is None else escape(str(v))
+        return f"{pad}<{tag}>{s}</{tag}>\n"
+
+    n = 0
+    with open(path, "w", encoding="utf-8") as fp:
+        fp.write(f'<?xml version="1.0" encoding="UTF-8"?>\n<{root_element}>\n')
+        for item in _json_rows(df):
+            fp.write(node(item_element, item, 1))
+            n += 1
+        fp.write(f"</{root_element}>\n")
+    return n
+
+
+def write_yaml(df: DataFrame, path: str) -> int:
+    """YAMLPipeline (pipelines.py:1094-1142): one YAML document per
+    item, '---'-separated. Import-gated on pyyaml like the reference."""
+    try:
+        import yaml
+    except ImportError as exc:  # mirror reference's optional-dep error
+        raise ImportError("pyyaml is required for write_yaml") from exc
+
+    n = 0
+    with open(path, "w", encoding="utf-8") as fp:
+        for item in _json_rows(df):
+            fp.write("---\n")
+            yaml.safe_dump(item, fp, allow_unicode=True, sort_keys=False)
+            n += 1
+    return n
+
+
+def write_webhook(df: DataFrame, url: str, batch_size: int = 100,
+                  timeout_s: float = 10.0) -> int:
+    """WebhookPipeline (pipelines.py:1773-1947): POST items as JSON to
+    an HTTP endpoint. Runs DISTRIBUTED — each partition posts its own
+    batches (the reference is a single async client; a webhook endpoint
+    is a fan-in service, so executor-side posting is the scale shape)."""
+    from pyspark.sql import types as T2
+
+    def post_partition(it):
+        import json as _json
+        import urllib.request
+
+        sent = 0
+        buf = []
+
+        def flush():
+            nonlocal sent, buf
+            if not buf:
+                return
+            req = urllib.request.Request(
+                url, data=_json.dumps(buf).encode("utf-8"),
+                headers={"content-type": "application/json"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s):
+                pass
+            sent += len(buf)
+            buf = []
+
+        for row in it:
+            buf.append(_json.loads(row["j"]))
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        yield sent
+
+    counts = (
+        df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+        .rdd.mapPartitions(post_partition)
+        .collect()
+    )
+    return sum(counts)
+
+
+SINKS.update({
+    "sqlite": write_sqlite,
+    "duckdb": write_duckdb,
+    "xml": write_xml,
+    "yaml": write_yaml,
+    "webhook": write_webhook,
+})

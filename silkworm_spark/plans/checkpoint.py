@@ -102,6 +102,39 @@ def write_driver_table(path: str, rows: list[tuple], schema: StructType) -> None
     pq.write_table(table, os.path.join(path, "part-00000.parquet"))
 
 
+class PendingCommit:
+    """Write-behind half of a two-phase commit: sink-table writes and
+    the executor-side bloom merge keep running on driver threads while
+    the engine starts the next round's compute; ``finalize()`` joins
+    them, runs compaction, and atomically publishes the manifest."""
+
+    def __init__(self, ckpt: "CrawlCheckpoint", pool, sink_futures,
+                 bloom_future, bloom, new_manifest: dict, rdir: str) -> None:
+        self.ckpt = ckpt
+        self.pool = pool
+        self.sink_futures = sink_futures
+        self.bloom_future = bloom_future
+        self.bloom = bloom
+        self.new_manifest = new_manifest
+        self.rdir = rdir
+        self._done = False
+
+    def finalize(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        try:
+            for f in self.sink_futures:
+                name, rel = f.result()
+                if rel is not None:
+                    self.new_manifest["tables"].setdefault(name, []).append(rel)
+            if self.bloom_future is not None:
+                self.bloom_future.result()
+        finally:
+            self.pool.shutdown(wait=True)
+        self.ckpt._compact_and_publish(self.new_manifest, self.rdir, self.bloom)
+
+
 class CrawlCheckpoint:
     def __init__(self, spark: SparkSession, root: str, compact_every: int = 8) -> None:
         self.spark = spark
@@ -165,12 +198,26 @@ class CrawlCheckpoint:
         known_counts: dict[str, int] | None = None,
         extras: dict[str, Any] | None = None,
         driver_appends: dict[str, list[tuple]] | None = None,
-    ) -> None:
+        async_sinks: tuple = (),
+    ) -> "PendingCommit | None":
         """Write this round's data, then atomically publish the manifest.
 
         A crash before the rename leaves the previous manifest intact →
         the next run resumes from the prior round exactly; orphan round
         directories are inert.
+
+        ``async_sinks`` names append tables whose writes may OVERLAP the
+        next round's compute: the commit returns a ``PendingCommit``
+        instead of publishing the manifest; the caller must
+        ``finalize()`` it before anything depends on the sink data or
+        the shared bloom bits (the engine does so before the next
+        round's dedup). Frontier-critical tables (frontier_delta,
+        consumed, seen, host_state) always write synchronously and land
+        in the in-memory manifest immediately, so the next round's
+        reads see them; the on-disk manifest simply lags one round — a
+        crash in the window replays the whole round deterministically
+        from the previous manifest (same exact-resume contract,
+        write-behind).
 
         ``known_counts`` lets the engine skip empty-table writes without
         the per-table ``isEmpty()`` job round 1 paid (6 driver jobs per
@@ -236,11 +283,19 @@ class CrawlCheckpoint:
             return name, rel
 
         counts = known_counts or {}
+        deferred = {
+            n: df for n, df in appends.items()
+            if n in async_sinks and df is not None and counts.get(n, 1) != 0
+        }
         small = {
             n: df for n, df in appends.items()
-            if n != "documents" and df is not None and counts.get(n, 1) != 0
+            if n != "documents" and n not in deferred
+            and df is not None and counts.get(n, 1) != 0
         }
-        big = {n: df for n, df in appends.items() if n not in small}
+        big = {
+            n: df for n, df in appends.items()
+            if n not in small and n not in deferred
+        }
 
         # driver-local tables (round metrics): straight pyarrow writes,
         # zero Spark jobs
@@ -251,8 +306,9 @@ class CrawlCheckpoint:
             )
             new_manifest["tables"].setdefault(name, []).append(rel)
 
-        n_tasks = len(big) + len(snapshots) + 2
-        with cf.ThreadPoolExecutor(max_workers=n_tasks) as pool:
+        n_tasks = len(big) + len(snapshots) + len(deferred) + 2
+        pool = cf.ThreadPoolExecutor(max_workers=n_tasks)
+        try:
             bfut = (
                 pool.submit(bloom.update_from_df, bloom_update)
                 if bloom is not None and bloom_update is not None
@@ -260,6 +316,7 @@ class CrawlCheckpoint:
             )
             pfut = pool.submit(write_packed, small) if small else None
             afuts = [pool.submit(write_append, n, df) for n, df in big.items()]
+            dfuts = [pool.submit(write_append, n, df) for n, df in deferred.items()]
             sfuts = [pool.submit(write_snapshot, n, df) for n, df in snapshots.items()]
             for f in afuts:
                 name, rel = f.result()
@@ -274,9 +331,24 @@ class CrawlCheckpoint:
             for f in sfuts:
                 name, rel = f.result()
                 new_manifest["tables"][name] = [rel]
-            if bfut is not None:
-                bfut.result()
+        except BaseException:
+            pool.shutdown(wait=True, cancel_futures=True)
+            raise
 
+        # the in-memory manifest advances NOW: the next round reads the
+        # sync tables through it; the FILE publishes in finalize()
+        self.manifest = new_manifest
+        pending = PendingCommit(
+            ckpt=self, pool=pool, sink_futures=dfuts, bloom_future=bfut,
+            bloom=bloom, new_manifest=new_manifest, rdir=rdir,
+        )
+        if not async_sinks:
+            pending.finalize()
+            return None
+        return pending
+
+    def _compact_and_publish(self, new_manifest: dict, rdir: str,
+                             bloom: ShardedBloom | None) -> None:
         # merge-on-read compaction: once enough deltas accumulate, fold
         # deltas ⊖ consumed into one base so the read-side anti-join
         # stays bounded. Still atomic — the compacted base is written

@@ -79,6 +79,12 @@ class CrawlConfig:
     backoff_base: float = 0.5  # reference middlewares.py:104
     max_redirects: int = 10  # reference http.py:31
     use_bloom: bool = True
+    # write-behind commits: sink tables (documents/items/fetch_log) and
+    # the bloom merge overlap the NEXT round's dequeue+fetch+parse; the
+    # manifest publishes at the join point before that round's dedup.
+    # Exact-resume is preserved (a crash in the window replays one
+    # deterministic round from the previous manifest).
+    async_commit: bool = True
     bloom_shards: int = 64  # scale: ~1 shard per seen-table partition
     bloom_bits_per_shard: int = 1 << 17
     bloom_k: int = 7
@@ -265,6 +271,7 @@ class CrawlEngine:
             else None
         )
         robots = self._robots().cache()
+        n_robots = robots.count()  # one tiny job per run(), not per round
         bloom = self._load_bloom()
         vtime = float(self.ckpt.manifest["vtime"])
         seq_next = int(self.ckpt.manifest["seq_next"])
@@ -275,6 +282,17 @@ class CrawlEngine:
         n_fetched = int(self.ckpt.manifest.get("n_fetched", 0))
 
         n_frontier: int | None = None  # tracked incrementally after round 1
+        pending = None  # write-behind commit of the previous round
+        held: list = []  # caches the pending writes still read
+
+        def join_pending():
+            nonlocal pending, held
+            if pending is not None:
+                pending.finalize()
+                pending = None
+            for h in held:
+                h()
+            held = []
         # max_rounds bounds the *crawl*, not this run() call — a resumed
         # crawl continues to the same global bound (exact-resume contract)
         while round_no < cfg.max_rounds:
@@ -309,6 +327,14 @@ class CrawlEngine:
                 target_rows_per_partition=cfg.target_rows_per_partition,
                 horizon=(seq_floor, seq_next, cfg.horizon_factor)
                 if uniform_priority else None,
+                # provably-equivalent FIFO fast path: no robots rules
+                # loaded + uniform priority + no host cap ⇒ selection
+                # is exactly "budget smallest eligible seqs"
+                no_politeness=(
+                    uniform_priority
+                    and n_robots == 0
+                    and cfg.per_host_cap >= (1 << 31) - 1
+                ),
             )
             batch, denied = dq.batch, dq.denied
             n_batch, n_denied = dq.n_batch, dq.n_denied
@@ -336,11 +362,23 @@ class CrawlEngine:
             max_parts = cfg.num_partitions or self.spark.sparkContext.defaultParallelism
             nparts = max(1, min(max_parts, -(-n_batch // cfg.min_rows_per_partition)))
 
+            raw_fetched = None  # live-mode cache handle
             if self.fetch_mode == "offline":
-                raw_fetched = offline_fetch_resolved(
+                # NO body cache: page bodies stream through the parse
+                # python stage exactly once (scan → broadcast join →
+                # Arrow), and the metrics/retry twin below re-joins
+                # against a column-PRUNED resolved scan (body_len, no
+                # binary) — re-running a slim join beats building and
+                # GC-ing a multi-100 MB in-memory cache every round
+                parse_src = offline_fetch_resolved(
                     batch, resolved, n_batch=n_batch,
                     broadcast_max_rows=cfg.fetch_broadcast_max_rows,
-                ).cache()
+                )
+                meta_src = offline_fetch_resolved(
+                    batch, resolved, n_batch=n_batch,
+                    broadcast_max_rows=cfg.fetch_broadcast_max_rows,
+                    include_body=False,
+                )
             else:
                 # live fetch: request middlewares (UA/proxy columns,
                 # reference engine.py:94-97 order) then salted per-host
@@ -358,6 +396,8 @@ class CrawlEngine:
                     timeout_s=cfg.request_timeout,
                     default_headers=cfg.default_headers,
                 ).cache()
+                parse_src = raw_fetched.withColumn("body_len", F.length("body"))
+                meta_src = parse_src
 
             is_retryable = F.coalesce(
                 F.col("status").isin(RETRY_HTTP_CODES), F.lit(False)
@@ -377,7 +417,7 @@ class CrawlEngine:
                 & ~will_retry
                 # parser cost guard (reference html_max_size_bytes,
                 # engine.py:37, response.py:314)
-                & (F.length("body") <= cfg.html_max_bytes)
+                & (F.col("body_len") <= cfg.html_max_bytes)
             )
             # No repartition before parse: the offline fetch join output
             # inherits the resolved table's scan splits (uniform in url,
@@ -385,7 +425,7 @@ class CrawlEngine:
             # repartition here would shuffle every BODY (round 1 shuffled
             # ~600 MB/round through the spill disk and capped parse-stage
             # scaling at 0.37). Live mode pre-salts by `part` instead.
-            parse_in = raw_fetched.filter(parseable)
+            parse_in = parse_src.filter(parseable)
             if self.fetch_mode != "offline":
                 parse_in = parse_in.repartition(nparts, "part")
             parse_out = run_parse_stage(parse_in).cache()
@@ -400,12 +440,18 @@ class CrawlEngine:
             n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
             tick("parse")
 
-            # body-free metadata twin off the now-warm fetch cache: the
-            # retry split and metrics never touch page bodies
-            fetched = raw_fetched.withColumn(
+            # body-free metadata twin: the retry split and metrics never
+            # touch page bodies (offline: column-pruned re-join; live:
+            # projection off the fetch cache)
+            # cached: J3's agg materializes it, the retry split (J4's
+            # candidates chain) reuses it — without the cache the slim
+            # join would run twice per round
+            fetched = meta_src.withColumn(
                 "_oversize",
-                F.coalesce(F.length("body") > cfg.html_max_bytes, F.lit(False)),
-            ).drop("body", "content_type")
+                F.coalesce(F.col("body_len") > cfg.html_max_bytes, F.lit(False)),
+            ).drop(
+                *[c for c in ("body", "content_type") if c in meta_src.columns]
+            ).cache()
 
             # J3: ONE collect supplies per-partition lineage (north
             # rule) and every round total
@@ -498,6 +544,12 @@ class CrawlEngine:
                 retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
             )
 
+            # join point: the previous round's write-behind sinks and
+            # bloom merge must land before this round's dedup probes the
+            # bloom — everything up to here (dequeue, fetch, parse)
+            # overlapped with them
+            join_pending()
+
             seen = self.ckpt.read("seen")
             deduped = dedup_candidates(
                 candidates, seen, bloom if cfg.use_bloom else None,
@@ -548,7 +600,7 @@ class CrawlEngine:
             )
 
             seq_floor = dq.floor_next
-            self.ckpt.commit(
+            pending = self.ckpt.commit(
                 round_no=round_no,
                 vtime=vtime + cfg.round_seconds,
                 seq_next=seq_next,
@@ -578,6 +630,10 @@ class CrawlEngine:
                     "n_seen": (n_seen or 0) + (n_new - n_retries),
                     "n_fetched": n_fetched + n_batch,
                 },
+                async_sinks=(
+                    ("documents", "items", "fetch_log")
+                    if cfg.async_commit else ()
+                ),
             )
             tick("commit")
             vtime += cfg.round_seconds
@@ -600,12 +656,22 @@ class CrawlEngine:
             if n_seen is not None:
                 n_seen += n_new - n_retries
 
-            for df in (raw_fetched, parse_out, fresh):
-                df.unpersist()
+            releases = [
+                df.unpersist for df in (raw_fetched, fetched, parse_out, fresh)
+                if df is not None
+            ]
             if getattr(deduped, "_dedup_cache", None) is not None:
-                deduped._dedup_cache.unpersist()
-            dq.release()
+                releases.append(deduped._dedup_cache.unpersist)
+            releases.append(dq.release)
+            if pending is not None:
+                # the write-behind sinks still read these caches — hold
+                # them until the next join point
+                held = releases
+            else:
+                for r in releases:
+                    r()
 
+        join_pending()
         robots.unpersist()
         self.stats.elapsed_s = perf_counter() - t0
         return self.stats

@@ -37,9 +37,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         # body-heavy tables (6 KB+/row): smaller splits keep the scan →
-        # fetch-join → parse chain at ≥2x cores partitions without any
-        # explicit repartition (which would shuffle bodies)
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # fetch-join → parse chain at ~4 tasks/core without any explicit
+        # repartition (which would shuffle bodies). 22 splits at 16
+        # cores = 1.4 task waves — stragglers idled 40% of the cores and
+        # capped measured parse scaling at ~0.5; ~4 waves of small tasks
+        # pack tightly at any width
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_SPLIT_BYTES", str(8 * 1024 * 1024)),
+        )
+        # tmpfs/page-cache file opens are not worth the 4 MB default
+        # padding — it inflates split packing 50% for many-small-files
+        # tables like the resolved web
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # the crawl is python-CPU-bound with abundant memory: lz4-in-
         # memory columnar compression burns cores for nothing on the
         # per-round body/span caches

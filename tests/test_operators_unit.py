@@ -238,3 +238,29 @@ def test_dequeue_budget_threshold_exact(spark):
     assert got == list(range(20))  # FIFO by seq, exactly budget rows
     assert dq.n_batch == 20
     dq.release()
+
+
+def test_dequeue_fifo_fast_path_equals_general(spark):
+    """The no-politeness FIFO fast path must select EXACTLY the rows
+    the general windowed path selects when robots is empty, priorities
+    are uniform, and there is no per-host cap — including the retry
+    not_before eligibility filter and the budget cutoff."""
+    rows = [
+        _frontier_row(f"http://h{i % 5}/p{i}", i, host=f"h{i % 5}")
+        for i in range(40)
+    ]
+    rows[7] = _frontier_row("http://h2/late", 7, host="h2", not_before=99.0)
+    for kw in (dict(round_budget=10), dict(round_budget=10, horizon=(0, 40, 2))):
+        slow = _dequeue(spark, rows, [], [], **kw)
+        fast = _dequeue(spark, rows, [], [], no_politeness=True, **kw)
+        s = sorted(r["seq"] for r in slow.batch.collect())
+        f = sorted(r["seq"] for r in fast.batch.collect())
+        assert s == f and fast.n_batch == slow.n_batch == 10
+        assert fast.n_denied == 0
+        assert fast.seq_bounds == slow.seq_bounds
+        # host fetched counts match (next_free stays at vtime: no delays)
+        hs_s = {r["host"]: r["fetched"] for r in slow.new_host_state.collect()}
+        hs_f = {r["host"]: r["fetched"] for r in fast.new_host_state.collect()}
+        assert hs_s == hs_f
+        slow.release()
+        fast.release()
