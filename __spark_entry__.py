@@ -518,6 +518,33 @@ ORDER BY cosine DESC, b.vec_id LIMIT 5
 _reg("embed_ann_lsh", _embed_ann_lsh, _ann_oracle())
 
 
+def _embed_ivf_topk(spark, sf):
+    """IVF coarse-quantizer ANN (similarity.py): verified in EXACT
+    mode — probing every inverted list degenerates to brute force, so
+    the DuckDB brute-force top-k is a value-exact oracle. The small-
+    nprobe approximate path's recall is pinned in
+    tests/test_similarity_recall.py."""
+    from silkworm_spark.operators.similarity import ivf_centroids, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    cents = ivf_centroids(emb.filter(F.col("vec_id") != 0), n_clusters=8)
+    return ivf_topk(
+        emb.filter(F.col("vec_id") != 0), cents, qvec, k=10, nprobe=8
+    )
+
+
+_reg("embed_ivf_topk", _embed_ivf_topk, """
+WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       round(list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings e, q WHERE e.vec_id != 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""")
+
+
 def _embed_neardup(spark, sf):
     """Brute-force near-dup pairs (exact oracle); the LSH-bucketed
     variant is embed_neardup_lsh (rows-only check)."""

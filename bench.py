@@ -168,7 +168,7 @@ QUERY_NAMES = [
     "politeness_budget_cap", "sessionize", "hot_key_salts",
     "tpch_q1", "tpch_q3_topk", "tpch_q6", "dim_broadcast_join",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh",
+    "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "multimodal_decode",
 ]

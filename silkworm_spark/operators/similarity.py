@@ -142,3 +142,101 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
+
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 16,
+    iters: int = 5,
+    sample_rows: int = 50_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means on a bounded driver sample: the
+    coarse quantizer of an IVF index. Init = the first ``n_clusters``
+    vectors in id order (no RNG, resume/replay-stable); at 100 TB the
+    sample is a tiny fixed-size pull while assignment/search below stay
+    fully distributed."""
+    rows = (
+        embeddings.orderBy(id_col).limit(sample_rows)
+        .select(vec_col).collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    x /= np.linalg.norm(x, axis=1, keepdims=True) + 1e-12
+    c = x[:n_clusters].copy()
+    for _ in range(iters):
+        sims = x @ c.T  # cosine == dot on normalized vectors
+        assign = sims.argmax(axis=1)
+        for j in range(n_clusters):
+            m = x[assign == j]
+            if len(m):
+                v = m.mean(axis=0)
+                c[j] = v / (np.linalg.norm(v) + 1e-12)
+    return [[round(float(v), 6) for v in row] for row in c]
+
+
+def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmax over centroid dot products, as a pure column expression
+    (centroids embedded as literals → SQL-oracle-recomputable)."""
+    norm = _norm(vec)
+    best_sim, best_idx = None, None
+    for j, cvec in enumerate(centroids):
+        lit = F.array(*[F.lit(float(v)) for v in cvec])
+        sim = _dot(vec, lit) / norm  # centroid is unit-norm already
+        if best_sim is None:
+            best_sim, best_idx = sim, F.lit(j)
+        else:
+            better = sim > best_sim
+            best_idx = F.when(better, F.lit(j)).otherwise(best_idx)
+            best_sim = F.when(better, sim).otherwise(best_sim)
+    return best_idx
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    partition_by_cluster: bool = False,
+) -> DataFrame:
+    """Attach the IVF list id. With ``partition_by_cluster`` the table
+    is physically clustered on it — the layout that turns a top-k query
+    into a scan of nprobe partitions instead of all N (partition
+    pruning on the `cluster` column when persisted partitioned)."""
+    out = embeddings.withColumn(
+        "cluster", _nearest_centroid_col(F.col(vec_col).cast("array<double>"), centroids)
+    )
+    if partition_by_cluster:
+        out = out.repartition("cluster")
+    return out
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: rank centroids against the query driver-side, scan
+    only the ``nprobe`` nearest inverted lists, exact cosine rerank
+    inside them. ``nprobe == len(centroids)`` degenerates to exact
+    brute force (the verification mode — the driver oracle uses it);
+    small nprobe is the 100 TB path (recall tested in
+    tests/test_similarity_recall.py)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) + 1e-12)
+    sims = np.asarray(centroids, dtype=np.float64) @ qn
+    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    assigned = ivf_assign(embeddings, centroids, vec_col)
+    qlit = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = cosine_col(F.col(vec_col).cast("array<double>"), qlit)
+    return (
+        assigned.filter(F.col("cluster").isin(probe))
+        .select(id_col, F.round(cos, 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

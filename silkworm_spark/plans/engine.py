@@ -438,16 +438,6 @@ class CrawlEngine:
             if self.fetch_mode != "offline":
                 parse_in = parse_in.repartition(nparts, "part")
             parse_out = run_parse_stage(parse_in).cache()
-            # J2: materializes the fetch AND parse caches in one job
-            # (the python stage pipelines with the fetch join) and
-            # yields the span-item/error/json-item counts
-            pc_rows = parse_out.groupBy("out_kind").agg(
-                F.count("*").alias("cnt"),
-                F.sum(F.size("items")).alias("jitems"),
-            ).collect()
-            parse_counts = {r["out_kind"]: r["cnt"] for r in pc_rows}
-            n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
-            tick("parse")
 
             # body-free metadata twin: the retry split and metrics never
             # touch page bodies (offline: column-pruned re-join; live:
@@ -462,23 +452,42 @@ class CrawlEngine:
                 *[c for c in ("body", "content_type") if c in meta_src.columns]
             ).cache()
 
-            # J3: ONE collect supplies per-partition lineage (north
-            # rule) and every round total
-            part_rows = (
-                fetched.groupBy(F.col("part").alias("partition_id"))
-                .agg(
-                    F.count("*").alias("requests_sent"),
-                    F.count("status").alias("responses_received"),
-                    F.count("error").alias("errors"),
-                    F.sum(will_retry.cast("long")).alias("retries"),
-                    F.sum(gave_up.cast("long")).alias("gave_up"),
-                    F.sum(
-                        (F.col("_oversize") & F.col("error").isNull()
-                         & ~will_retry).cast("long")
-                    ).alias("dropped_oversize"),
+            # J2 ∥ J3: the heavy python parse job and the slim metrics
+            # agg have no dependency — the metrics collect runs on a
+            # second driver thread, filling executor slots the parse
+            # stage's stragglers leave idle
+            import concurrent.futures as _cf
+
+            def _part_rows():
+                return (
+                    fetched.groupBy(F.col("part").alias("partition_id"))
+                    .agg(
+                        F.count("*").alias("requests_sent"),
+                        F.count("status").alias("responses_received"),
+                        F.count("error").alias("errors"),
+                        F.sum(will_retry.cast("long")).alias("retries"),
+                        F.sum(gave_up.cast("long")).alias("gave_up"),
+                        F.sum(
+                            (F.col("_oversize") & F.col("error").isNull()
+                             & ~will_retry).cast("long")
+                        ).alias("dropped_oversize"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
+
+            with _cf.ThreadPoolExecutor(1) as _ex:
+                part_fut = _ex.submit(_part_rows)
+                # J2: materializes the parse cache (the python stage
+                # pipelines with the fetch join) and yields the
+                # span-item/error/json-item counts
+                pc_rows = parse_out.groupBy("out_kind").agg(
+                    F.count("*").alias("cnt"),
+                    F.sum(F.size("items")).alias("jitems"),
+                ).collect()
+                parse_counts = {r["out_kind"]: r["cnt"] for r in pc_rows}
+                n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
+                tick("parse")
+                part_rows = part_fut.result()
             tick("fetch")
 
             from silkworm_spark.operators.retry import split_retries

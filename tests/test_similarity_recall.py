@@ -72,3 +72,21 @@ def test_lsh_recall_improves_with_tables(spark):
     }
     assert len(four) >= len(one)
     assert one <= truth and four <= truth
+
+
+def test_ivf_exact_mode_equals_brute_and_partial_probe_recall(spark):
+    from silkworm_spark.operators.similarity import (
+        cosine_topk, ivf_centroids, ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    rest = emb.filter("vec_id != 0")
+    cents = ivf_centroids(rest, n_clusters=8)
+    brute = [r["vec_id"] for r in cosine_topk(rest, qvec, k=10).collect()]
+    exact = [r["vec_id"] for r in ivf_topk(rest, cents, qvec, k=10, nprobe=8).collect()]
+    assert exact == brute  # nprobe = n_clusters ⇒ provably exact
+    # partial probe: approximate, but the nearest lists hold most of
+    # the true top-k (the IVF recall/latency dial)
+    part = [r["vec_id"] for r in ivf_topk(rest, cents, qvec, k=10, nprobe=3).collect()]
+    assert len(set(part) & set(brute)) >= 7
