@@ -120,6 +120,9 @@ class CrawlConfig:
     request_timeout: float = 30.0  # reference http.py:34 default
     request_delay: float = 0.0
     request_delay_range: tuple | None = None
+    # CDP browser-rendering backend (reference cdp.py:42), used by
+    # fetch_mode="cdp"
+    cdp_endpoint: str = "ws://127.0.0.1:9222"
 
 
 @dataclass
@@ -400,11 +403,24 @@ class CrawlEngine:
                 prepared = apply_request_middlewares(
                     batch, cfg.user_agents, cfg.proxies
                 )
-                raw_fetched = live_fetch(
-                    prepared.repartition(nparts, "part"),
-                    timeout_s=cfg.request_timeout,
-                    default_headers=cfg.default_headers,
-                ).cache()
+                if self.fetch_mode == "cdp":
+                    # browser-rendered fetch (reference cdp.py): one
+                    # CDP page session per partition, same result
+                    # contract as live_fetch
+                    from silkworm_spark.operators.cdp import cdp_fetch
+
+                    raw_fetched = cdp_fetch(
+                        prepared.repartition(nparts, "part"),
+                        ws_endpoint=cfg.cdp_endpoint,
+                        timeout_s=cfg.request_timeout,
+                        html_max_bytes=cfg.html_max_bytes,
+                    ).cache()
+                else:
+                    raw_fetched = live_fetch(
+                        prepared.repartition(nparts, "part"),
+                        timeout_s=cfg.request_timeout,
+                        default_headers=cfg.default_headers,
+                    ).cache()
                 parse_src = raw_fetched.withColumn("body_len", F.length("body"))
                 meta_src = parse_src
 
