@@ -72,12 +72,14 @@ SINKS = {
 # ---- single-writer / service sinks (reference pipelines.py:388-2929) ----
 #
 # The reference's embedded-DB and feed pipelines are SERIAL writers by
-# nature (one sqlite/duckdb connection, one XML file). Their Spark
-# analogs drain the DataFrame through the driver in Arrow batches —
-# the right shape for an embedded single-writer target; distributed
-# fan-in sinks (JDBC servers, ES, Mongo, S3) remain `df.write`
-# connector swaps and are out of scope in this sandbox (no jars, no
-# network).
+# nature (one sqlite/duckdb connection, one XML file, one RSS feed).
+# Their Spark analogs drain the DataFrame through the driver in Arrow
+# batches — the right shape for an embedded single-writer target.
+# Fan-in SERVICE sinks (webhook, elasticsearch) post executor-side,
+# per partition — the distributed shape. Remaining reference
+# connectors (Mongo/MySQL/PG/Snowflake/Cassandra/DynamoDB/Sheets/
+# Taskiq/FTP) are driver-protocol swaps of these two shapes; the JVM
+# connector route (`df.write.jdbc`, spark-es) needs jars absent here.
 
 
 def _json_rows(df: DataFrame):
@@ -223,10 +225,287 @@ def write_webhook(df: DataFrame, url: str, batch_size: int = 100,
     return sum(counts)
 
 
+def write_rss(
+    df: DataFrame, path: str, *,
+    channel_title: str, channel_link: str, channel_description: str,
+    max_items: int | None = 50,
+    item_title_field: str = "title", item_link_field: str = "link",
+    item_description_field: str = "description",
+    item_pub_date_field: str | None = None,
+    item_guid_field: str | None = None,
+    item_author_field: str | None = None,
+) -> int:
+    """RssPipeline (pipelines.py:578-735): RSS 2.0 feed of the LAST
+    ``max_items`` rows (the reference buffers into a deque(maxlen) —
+    newest survive), rows missing title/link/description skipped,
+    dict/list field values JSON-stringified, datetime pub dates
+    RFC-2822 formatted. A feed is a bounded single document, so this is
+    a driver-side writer by nature; ``df.tail`` pulls only max_items
+    rows."""
+    import json as _json
+    import xml.etree.ElementTree as ET
+    from datetime import date, datetime, timezone
+    from email.utils import format_datetime
+
+    if not channel_title or not channel_link or not channel_description:
+        raise ValueError(
+            "channel_title, channel_link, and channel_description are required"
+        )
+
+    def stringify(v):
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return _json.dumps(v, ensure_ascii=False)
+        return str(v)
+
+    def pub_date(v):
+        if v is None:
+            return None
+        if isinstance(v, datetime):
+            return format_datetime(v if v.tzinfo else v.replace(tzinfo=timezone.utc))
+        if isinstance(v, date):
+            return format_datetime(
+                datetime(v.year, v.month, v.day, tzinfo=timezone.utc))
+        return str(v)
+
+    rows = df.tail(max_items) if max_items else df.collect()
+    rss = ET.Element("rss", {"version": "2.0"})
+    channel = ET.SubElement(rss, "channel")
+    ET.SubElement(channel, "title").text = channel_title
+    ET.SubElement(channel, "link").text = channel_link
+    ET.SubElement(channel, "description").text = channel_description
+    n = 0
+    for row in rows:
+        d = row.asDict(recursive=True)
+        title = stringify(d.get(item_title_field))
+        link = stringify(d.get(item_link_field))
+        desc = stringify(d.get(item_description_field))
+        if title is None or link is None or desc is None:
+            continue  # reference skips with a warning
+        el = ET.SubElement(channel, "item")
+        ET.SubElement(el, "title").text = title
+        ET.SubElement(el, "link").text = link
+        ET.SubElement(el, "description").text = desc
+        if item_pub_date_field and (pd := pub_date(d.get(item_pub_date_field))):
+            ET.SubElement(el, "pubDate").text = pd
+        if item_guid_field and (g := stringify(d.get(item_guid_field))):
+            ET.SubElement(el, "guid").text = g
+        if item_author_field and (a := stringify(d.get(item_author_field))):
+            ET.SubElement(el, "author").text = a
+        n += 1
+    tree = ET.ElementTree(rss)
+    ET.indent(tree, space="  ")
+    with open(path, "wb") as fp:
+        tree.write(fp, encoding="utf-8", xml_declaration=True)
+    return n
+
+
+def msgpack_packb(obj) -> bytes:
+    """Spec-conformant MessagePack encoder for the JSON-item subset
+    (nil/bool/int/float/str/bytes/list/dict) — the sandbox has no
+    msgpack/ormsgpack package, and the format is small enough that a
+    stdlib encoder beats an import gate (reference MsgPackPipeline,
+    pipelines.py:388-467, serializes with ormsgpack). Output is
+    byte-identical to ``msgpack.packb`` for this type subset."""
+    import struct as _s
+
+    out = bytearray()
+
+    def pack(v):
+        if v is None:
+            out.append(0xC0)
+        elif v is True:
+            out.append(0xC3)
+        elif v is False:
+            out.append(0xC2)
+        elif isinstance(v, int):
+            if 0 <= v <= 0x7F:
+                out.append(v)
+            elif -32 <= v < 0:
+                out.append(0x100 + v)
+            elif 0 < v <= 0xFF:
+                out.extend(b"\xcc" + _s.pack("!B", v))
+            elif 0 < v <= 0xFFFF:
+                out.extend(b"\xcd" + _s.pack("!H", v))
+            elif 0 < v <= 0xFFFFFFFF:
+                out.extend(b"\xce" + _s.pack("!I", v))
+            elif 0 < v <= 0xFFFFFFFFFFFFFFFF:
+                out.extend(b"\xcf" + _s.pack("!Q", v))
+            elif -0x80 <= v < 0:
+                out.extend(b"\xd0" + _s.pack("!b", v))
+            elif -0x8000 <= v < 0:
+                out.extend(b"\xd1" + _s.pack("!h", v))
+            elif -0x80000000 <= v < 0:
+                out.extend(b"\xd2" + _s.pack("!i", v))
+            else:
+                out.extend(b"\xd3" + _s.pack("!q", v))
+        elif isinstance(v, float):
+            out.extend(b"\xcb" + _s.pack("!d", v))
+        elif isinstance(v, str):
+            b = v.encode("utf-8")
+            n = len(b)
+            if n <= 31:
+                out.append(0xA0 | n)
+            elif n <= 0xFF:
+                out.extend(b"\xd9" + _s.pack("!B", n))
+            elif n <= 0xFFFF:
+                out.extend(b"\xda" + _s.pack("!H", n))
+            else:
+                out.extend(b"\xdb" + _s.pack("!I", n))
+            out.extend(b)
+        elif isinstance(v, (bytes, bytearray)):
+            n = len(v)
+            if n <= 0xFF:
+                out.extend(b"\xc4" + _s.pack("!B", n))
+            elif n <= 0xFFFF:
+                out.extend(b"\xc5" + _s.pack("!H", n))
+            else:
+                out.extend(b"\xc6" + _s.pack("!I", n))
+            out.extend(bytes(v))
+        elif isinstance(v, (list, tuple)):
+            n = len(v)
+            if n <= 15:
+                out.append(0x90 | n)
+            elif n <= 0xFFFF:
+                out.extend(b"\xdc" + _s.pack("!H", n))
+            else:
+                out.extend(b"\xdd" + _s.pack("!I", n))
+            for x in v:
+                pack(x)
+        elif isinstance(v, dict):
+            n = len(v)
+            if n <= 15:
+                out.append(0x80 | n)
+            elif n <= 0xFFFF:
+                out.extend(b"\xde" + _s.pack("!H", n))
+            else:
+                out.extend(b"\xdf" + _s.pack("!I", n))
+            for k, x in v.items():
+                pack(k if isinstance(k, str) else str(k))
+                pack(x)
+        else:
+            raise TypeError(f"msgpack: unsupported type {type(v).__name__}")
+
+    pack(obj)
+    return bytes(out)
+
+
+def write_msgpack(df: DataFrame, path: str, mode: str = "write") -> int:
+    """MsgPackPipeline (pipelines.py:388-467): concatenated MessagePack
+    objects, one per item — the stream `msgpack.Unpacker` reads back.
+    ``mode`` is 'write' (overwrite) or 'append', like the reference."""
+    if mode not in ("write", "append"):
+        raise ValueError(f"mode must be 'write' or 'append', got '{mode}'")
+    n = 0
+    with open(path, "ab" if mode == "append" else "wb") as fp:
+        for item in _json_rows(df):
+            fp.write(msgpack_packb(item))
+            n += 1
+    return n
+
+
+def write_elasticsearch(
+    df: DataFrame, hosts: str | list = "http://localhost:9200",
+    index: str = "items", batch_size: int = 500, timeout_s: float = 10.0,
+) -> int:
+    """ElasticsearchPipeline (pipelines.py:1249-1312). The reference
+    indexes one document per async call; the scale shape is the `_bulk`
+    NDJSON API posted DISTRIBUTED — each partition batches its own rows
+    straight to ES (a fan-in service), no driver funnel. Multiple hosts
+    round-robin by partition id."""
+    import json as _json
+
+    host_list = [hosts] if isinstance(hosts, str) else list(hosts)
+
+    def post_partition(pid, it):
+        import urllib.request
+
+        base = host_list[pid % len(host_list)].rstrip("/")
+        sent = 0
+        buf = []
+
+        def flush():
+            nonlocal sent, buf
+            if not buf:
+                return
+            lines = []
+            for doc in buf:
+                lines.append(_json.dumps({"index": {"_index": index}}))
+                lines.append(doc)
+            body = ("\n".join(lines) + "\n").encode("utf-8")
+            req = urllib.request.Request(
+                f"{base}/_bulk", data=body,
+                headers={"content-type": "application/x-ndjson"}, method="POST",
+            )
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                out = _json.loads(resp.read())
+            if out.get("errors"):
+                raise RuntimeError(f"elasticsearch bulk errors on {base}/{index}")
+            sent += len(buf)
+            buf = []
+
+        for row in it:
+            buf.append(row["j"])
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        yield sent
+
+    counts = (
+        df.select(F.to_json(F.struct(*df.columns)).alias("j"))
+        .rdd.mapPartitionsWithIndex(post_partition)
+        .collect()
+    )
+    return sum(counts)
+
+
+def write_s3_jsonl(
+    df: DataFrame, bucket: str, key: str = "items.jl", *,
+    region: str = "us-east-1", endpoint: str | None = None,
+    access_key_id: str | None = None, secret_access_key: str | None = None,
+) -> int:
+    """S3JsonLinesPipeline (pipelines.py:1391-1475): all items as one
+    JSONL object at ``s3://bucket/key`` (the reference buffers and
+    writes once on close). Import-gated on boto3 standing in for the
+    reference's opendal; custom ``endpoint`` supports S3-compatible
+    stores. For partitioned multi-object output at scale, use
+    ``write_jsonl`` against an s3a:// path instead — this sink is the
+    single-object reference behavior."""
+    try:
+        import boto3
+        from botocore.config import Config
+    except ImportError as exc:
+        raise ImportError("boto3 is required for write_s3_jsonl") from exc
+    import json as _json
+
+    client = boto3.client(
+        "s3", region_name=region, endpoint_url=endpoint,
+        aws_access_key_id=access_key_id or "anonymous",
+        aws_secret_access_key=secret_access_key or "anonymous",
+        # plain Content-Length bodies (no aws-chunked trailing
+        # checksums) so S3-compatible stores without flexible-checksum
+        # support work
+        config=Config(s3={"addressing_style": "path"},
+                      retries={"max_attempts": 2},
+                      request_checksum_calculation="when_required"),
+    )
+    lines = [
+        _json.dumps(item, ensure_ascii=False) for item in _json_rows(df)
+    ]
+    client.put_object(Bucket=bucket, Key=key,
+                      Body="\n".join(lines).encode("utf-8"))
+    return len(lines)
+
+
 SINKS.update({
     "sqlite": write_sqlite,
     "duckdb": write_duckdb,
     "xml": write_xml,
     "yaml": write_yaml,
     "webhook": write_webhook,
+    "rss": write_rss,
+    "msgpack": write_msgpack,
+    "elasticsearch": write_elasticsearch,
+    "s3_jsonl": write_s3_jsonl,
 })

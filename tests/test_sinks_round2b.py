@@ -1,0 +1,223 @@
+"""Sinks added late in round 2: RSS, MsgPack, Elasticsearch bulk,
+S3 JSONL (reference pipelines.py:578-735, 388-467, 1249-1312,
+1391-1475). ES and S3 run against loopback fake services."""
+
+from __future__ import annotations
+
+import json
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from silkworm_spark.operators.sinks import (
+    msgpack_packb,
+    write_elasticsearch,
+    write_msgpack,
+    write_rss,
+    write_s3_jsonl,
+)
+
+ROWS = [
+    dict(title="T1", link="http://x/1", description="D1", author="a1"),
+    dict(title="T2", link="http://x/2", description="D2", author=None),
+    dict(title=None, link="http://x/3", description="D3", author=None),  # skipped
+]
+
+
+@pytest.fixture()
+def feed_df(spark):
+    return spark.createDataFrame(
+        ROWS, "title string, link string, description string, author string"
+    )
+
+
+def test_rss_sink(feed_df, tmp_path):
+    import xml.etree.ElementTree as ET
+
+    p = str(tmp_path / "feed.xml")
+    n = write_rss(
+        feed_df, p, channel_title="CT", channel_link="http://x/",
+        channel_description="CD", item_author_field="author",
+    )
+    assert n == 2  # the title-less row is skipped like the reference
+    root = ET.parse(p).getroot()
+    assert root.tag == "rss" and root.attrib["version"] == "2.0"
+    ch = root.find("channel")
+    assert ch.find("title").text == "CT"
+    items = ch.findall("item")
+    assert [i.find("title").text for i in items] == ["T1", "T2"]
+    assert items[0].find("author").text == "a1"
+    assert items[1].find("author") is None  # absent optional field
+
+    with pytest.raises(ValueError):
+        write_rss(feed_df, p, channel_title="", channel_link="x",
+                  channel_description="y")
+
+
+def _unpack_stream(buf: bytes):
+    """Tiny spec decoder for the encoder's type subset — independent
+    re-derivation from the MessagePack spec, so the test catches
+    encode-side mistakes rather than mirroring them."""
+    pos = 0
+
+    def rd(n):
+        nonlocal pos
+        b = buf[pos:pos + n]
+        pos += n
+        return b
+
+    def one():
+        b = rd(1)[0]
+        if b <= 0x7F:
+            return b
+        if b >= 0xE0:
+            return b - 0x100
+        if 0xA0 <= b <= 0xBF:
+            return rd(b & 0x1F).decode()
+        if 0x90 <= b <= 0x9F:
+            return [one() for _ in range(b & 0x0F)]
+        if 0x80 <= b <= 0x8F:
+            return {one(): one() for _ in range(b & 0x0F)}
+        if b == 0xC0:
+            return None
+        if b == 0xC2:
+            return False
+        if b == 0xC3:
+            return True
+        if b == 0xCB:
+            return struct.unpack("!d", rd(8))[0]
+        if b == 0xCC:
+            return rd(1)[0]
+        if b == 0xCD:
+            return struct.unpack("!H", rd(2))[0]
+        if b == 0xCE:
+            return struct.unpack("!I", rd(4))[0]
+        if b == 0xCF:
+            return struct.unpack("!Q", rd(8))[0]
+        if b == 0xD0:
+            return struct.unpack("!b", rd(1))[0]
+        if b == 0xD1:
+            return struct.unpack("!h", rd(2))[0]
+        if b == 0xD2:
+            return struct.unpack("!i", rd(4))[0]
+        if b == 0xD3:
+            return struct.unpack("!q", rd(8))[0]
+        if b == 0xD9:
+            return rd(rd(1)[0]).decode()
+        if b == 0xDA:
+            return rd(struct.unpack("!H", rd(2))[0]).decode()
+        if b == 0xC4:
+            return rd(rd(1)[0])
+        if b == 0xDC:
+            return [one() for _ in range(struct.unpack("!H", rd(2))[0])]
+        if b == 0xDE:
+            n = struct.unpack("!H", rd(2))[0]
+            return {one(): one() for _ in range(n)}
+        raise AssertionError(f"unhandled marker {b:#x}")
+
+    out = []
+    while pos < len(buf):
+        out.append(one())
+    return out
+
+
+def test_msgpack_golden_bytes():
+    # spec-mandated encodings (msgpack.org format spec)
+    assert msgpack_packb(None) == b"\xc0"
+    assert msgpack_packb(True) == b"\xc3"
+    assert msgpack_packb(127) == b"\x7f"
+    assert msgpack_packb(-1) == b"\xff"
+    assert msgpack_packb(-32) == b"\xe0"
+    assert msgpack_packb(255) == b"\xcc\xff"
+    assert msgpack_packb(65536) == b"\xce\x00\x01\x00\x00"
+    assert msgpack_packb(-33) == b"\xd0\xdf"
+    assert msgpack_packb(1.5) == b"\xcb" + struct.pack("!d", 1.5)
+    assert msgpack_packb("abc") == b"\xa3abc"
+    assert msgpack_packb({"a": 1}) == b"\x81\xa1a\x01"
+    assert msgpack_packb([1, "x"]) == b"\x92\x01\xa1x"
+    s40 = "y" * 40
+    assert msgpack_packb(s40) == b"\xd9\x28" + s40.encode()
+
+
+def test_msgpack_sink_roundtrip(feed_df, tmp_path):
+    p = str(tmp_path / "items.msgpack")
+    assert write_msgpack(feed_df, p) == 3
+    items = _unpack_stream(open(p, "rb").read())
+    assert len(items) == 3
+    assert sorted(i["link"] for i in items) == \
+        ["http://x/1", "http://x/2", "http://x/3"]
+    # append mode concatenates like the reference's 'ab' open
+    assert write_msgpack(feed_df, p, mode="append") == 3
+    assert len(_unpack_stream(open(p, "rb").read())) == 6
+    with pytest.raises(ValueError):
+        write_msgpack(feed_df, p, mode="nope")
+
+
+class _FakeServices(BaseHTTPRequestHandler):
+    """One loopback server playing Elasticsearch (POST /_bulk) and an
+    S3-compatible store (PUT /bucket/key)."""
+
+    docs: list = []
+    objects: dict = {}
+    lock = threading.Lock()
+
+    def do_POST(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers["Content-Length"]))
+        if self.path.endswith("/_bulk"):
+            lines = [ln for ln in body.decode().split("\n") if ln]
+            with self.lock:
+                for action, doc in zip(lines[::2], lines[1::2]):
+                    assert "index" in json.loads(action)
+                    self.docs.append(json.loads(doc))
+            out = json.dumps({"errors": False, "items": []}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def do_PUT(self):  # noqa: N802
+        body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        with self.lock:
+            self.objects[self.path] = body
+        self.send_response(200)
+        self.send_header("ETag", '"fake"')
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def services():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _FakeServices)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_elasticsearch_sink(feed_df, services):
+    _FakeServices.docs.clear()
+    n = write_elasticsearch(feed_df, services, index="quotes", batch_size=2)
+    assert n == 3
+    assert sorted(d["link"] for d in _FakeServices.docs) == \
+        ["http://x/1", "http://x/2", "http://x/3"]
+
+
+def test_s3_jsonl_sink(feed_df, services):
+    pytest.importorskip("boto3")
+    _FakeServices.objects.clear()
+    n = write_s3_jsonl(feed_df, "mybucket", "data/items.jl",
+                       endpoint=services, access_key_id="k",
+                       secret_access_key="s")
+    assert n == 3
+    body = _FakeServices.objects["/mybucket/data/items.jl"].decode()
+    got = sorted(json.loads(ln)["link"] for ln in body.splitlines())
+    assert got == ["http://x/1", "http://x/2", "http://x/3"]
