@@ -236,15 +236,17 @@ class CDPClient:
 
     def _wait_load(self, deadline: float) -> None:
         """Wait for Page.loadEventFired; PROCEED on timeout like the
-        reference (cdp.py:255-262)."""
+        reference (cdp.py:255-262). select() gates each read so a
+        timeout never fires mid-frame (which would desync the
+        websocket framing for every later command)."""
+        import select
+
         while not self._load_fired and monotonic() < deadline:
-            try:
-                self.ws.sock.settimeout(max(0.05, deadline - monotonic()))
-                data = json.loads(self.ws.recv_text())
-            except (TimeoutError, socket.timeout):
+            ready, _, _ = select.select(
+                [self.ws.sock], [], [], max(0.05, deadline - monotonic()))
+            if not ready:
                 break
-            finally:
-                self.ws.sock.settimeout(self.timeout)
+            data = json.loads(self.ws.recv_text())
             if data.get("method") == "Page.loadEventFired":
                 self._load_fired = True
 
