@@ -498,7 +498,101 @@ def write_s3_jsonl(
     return len(lines)
 
 
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, r = divmod(i - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
+    """ExcelPipeline (pipelines.py:996-1093): header row of flattened
+    field names (nested dicts → ``a_b``, lists → ", "-joined — the
+    same rule as ``flatten_for_tabular``), one row per item. openpyxl
+    isn't available in this sandbox, so this writes the minimal OOXML
+    package directly (stdlib zipfile + hand-built sheet XML with
+    inline strings) — byte-level .xlsx, readable by Excel/openpyxl/
+    pandas."""
+    import zipfile
+    from xml.sax.saxutils import escape
+
+    flat = flatten_for_tabular(df)
+    header = flat.columns
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+
+    def cell(ref: str, v) -> str:
+        if v is None:
+            return f'<c r="{ref}"/>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, (int, float)):
+            return f'<c r="{ref}"><v>{v}</v></c>'
+        return f'<c r="{ref}" t="inlineStr"><is><t>{escape(str(v))}</t></is></c>'
+
+    rows_xml = []
+
+    def row_xml(rno: int, values) -> str:
+        cells = "".join(
+            cell(f"{_col_letter(ci)}{rno}", v) for ci, v in enumerate(values)
+        )
+        return f'<row r="{rno}">{cells}</row>'
+
+    rows_xml.append(row_xml(1, header))
+    n = 0
+    for r in flat.toLocalIterator():
+        n += 1
+        rows_xml.append(row_xml(n + 1, [r[c] for c in header]))
+
+    sheet = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<worksheet xmlns="{ns}"><sheetData>{"".join(rows_xml)}</sheetData>'
+        f"</worksheet>"
+    )
+    wb = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        f'<sheet name="{escape(sheet_name)}" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/worksheet\" "
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'relationships"><Relationship Id="rId1" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/officeDocument\" "
+        'Target="xl/workbook.xml"/></Relationships>'
+    )
+    ctypes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types"><Default Extension="rels" ContentType="application/'
+        'vnd.openxmlformats-package.relationships+xml"/><Default Extension='
+        '"xml" ContentType="application/xml"/><Override PartName="/xl/'
+        'workbook.xml" ContentType="application/vnd.openxmlformats-'
+        'officedocument.spreadsheetml.sheet.main+xml"/><Override PartName='
+        '"/xl/worksheets/sheet1.xml" ContentType="application/vnd.'
+        'openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>'
+    )
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("[Content_Types].xml", ctypes)
+        z.writestr("_rels/.rels", root_rels)
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return n
+
+
 SINKS.update({
+    "excel": write_excel,
     "sqlite": write_sqlite,
     "duckdb": write_duckdb,
     "xml": write_xml,

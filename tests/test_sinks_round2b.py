@@ -221,3 +221,44 @@ def test_s3_jsonl_sink(feed_df, services):
     body = _FakeServices.objects["/mybucket/data/items.jl"].decode()
     got = sorted(json.loads(ln)["link"] for ln in body.splitlines())
     assert got == ["http://x/1", "http://x/2", "http://x/3"]
+
+
+def test_excel_sink(spark, tmp_path):
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    from silkworm_spark.operators.sinks import write_excel
+
+    df = spark.createDataFrame(
+        [("d1", 1.5, ["a", "b"], (1, "x")), ("d2", None, [], (2, "y"))],
+        "doc_id string, score double, tags array<string>, "
+        "meta struct<n:int, s:string>",
+    )
+    p = str(tmp_path / "items.xlsx")
+    assert write_excel(df, p, sheet_name="docs") == 2
+
+    ns = {"m": "http://schemas.openxmlformats.org/spreadsheetml/2006/main"}
+    with zipfile.ZipFile(p) as z:
+        names = set(z.namelist())
+        assert {"[Content_Types].xml", "xl/workbook.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        assert wb.find(".//m:sheet", ns).attrib["name"] == "docs"
+        sheet = ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+
+    rows = sheet.findall(".//m:row", ns)
+    assert len(rows) == 3  # header + 2 items
+
+    def cellvals(row):
+        out = []
+        for c in row.findall("m:c", ns):
+            t = c.find("m:is/m:t", ns)
+            v = c.find("m:v", ns)
+            out.append(t.text if t is not None
+                       else (v.text if v is not None else None))
+        return out
+
+    # nested struct flattened to meta_n/meta_s, array joined with ", "
+    assert cellvals(rows[0]) == ["doc_id", "score", "tags", "meta_n", "meta_s"]
+    assert cellvals(rows[1]) == ["d1", "1.5", "a, b", "1", "x"]
+    assert cellvals(rows[2]) == ["d2", None, None, "2", "y"]
