@@ -591,8 +591,38 @@ def write_excel(df: DataFrame, path: str, sheet_name: str = "Sheet1") -> int:
     return n
 
 
+def write_ftp_jsonl(
+    df: DataFrame, host: str, user: str, password: str,
+    remote_path: str = "items.jl", port: int = 21, timeout_s: float = 30.0,
+) -> int:
+    """FTPPipeline (pipelines.py:2251-2345): buffer all items as JSONL,
+    connect → login → upload to ``remote_path`` → quit. stdlib ftplib
+    stands in for the reference's aioftp; one remote object, so a
+    driver-side writer like the reference."""
+    import io
+    import json as _json
+    from ftplib import FTP
+
+    lines = [_json.dumps(item, ensure_ascii=False) for item in _json_rows(df)]
+    if not lines:
+        return 0
+    ftp = FTP()
+    try:
+        ftp.connect(host, port, timeout=timeout_s)
+        ftp.login(user, password)
+        buf = io.BytesIO(("\n".join(lines) + "\n").encode("utf-8"))
+        ftp.storbinary(f"STOR {remote_path}", buf)
+    finally:
+        try:
+            ftp.quit()
+        except Exception:
+            ftp.close()
+    return len(lines)
+
+
 SINKS.update({
     "excel": write_excel,
+    "ftp_jsonl": write_ftp_jsonl,
     "sqlite": write_sqlite,
     "duckdb": write_duckdb,
     "xml": write_xml,

@@ -262,3 +262,82 @@ def test_excel_sink(spark, tmp_path):
     assert cellvals(rows[0]) == ["doc_id", "score", "tags", "meta_n", "meta_s"]
     assert cellvals(rows[1]) == ["d1", "1.5", "a, b", "1", "x"]
     assert cellvals(rows[2]) == ["d2", None, None, "2", "y"]
+
+
+class _FtpSim(threading.Thread):
+    """Minimal loopback FTP server: USER/PASS/TYPE/PASV/STOR/QUIT —
+    exactly the command sequence ftplib.storbinary emits."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        import socket as _s
+        self.stored: dict[str, bytes] = {}
+        self.srv = _s.socket()
+        self.srv.setsockopt(_s.SOL_SOCKET, _s.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+
+    def run(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        import socket as _s
+        f = conn.makefile("rb")
+        conn.sendall(b"220 fake ftp\r\n")
+        data_srv = None
+        while True:
+            line = f.readline()
+            if not line:
+                break
+            cmd, _, arg = line.decode().strip().partition(" ")
+            cmd = cmd.upper()
+            if cmd == "USER":
+                conn.sendall(b"331 need password\r\n")
+            elif cmd == "PASS":
+                conn.sendall(b"230 logged in\r\n")
+            elif cmd == "TYPE":
+                conn.sendall(b"200 ok\r\n")
+            elif cmd == "PASV":
+                data_srv = _s.socket()
+                data_srv.bind(("127.0.0.1", 0))
+                data_srv.listen(1)
+                p = data_srv.getsockname()[1]
+                conn.sendall(
+                    f"227 entering passive (127,0,0,1,{p >> 8},{p & 255})\r\n"
+                    .encode())
+            elif cmd == "STOR":
+                conn.sendall(b"150 ok send data\r\n")
+                d, _ = data_srv.accept()
+                chunks = []
+                while True:
+                    c = d.recv(65536)
+                    if not c:
+                        break
+                    chunks.append(c)
+                d.close()
+                data_srv.close()
+                self.stored[arg] = b"".join(chunks)
+                conn.sendall(b"226 transfer complete\r\n")
+            elif cmd == "QUIT":
+                conn.sendall(b"221 bye\r\n")
+                break
+            else:
+                conn.sendall(b"502 not implemented\r\n")
+        conn.close()
+        self.srv.close()
+
+
+def test_ftp_jsonl_sink(feed_df):
+    from silkworm_spark.operators.sinks import write_ftp_jsonl
+
+    sim = _FtpSim()
+    sim.start()
+    n = write_ftp_jsonl(feed_df, "127.0.0.1", "u", "p",
+                        "data/items.jl", port=sim.port)
+    sim.join(timeout=5)
+    assert n == 3
+    body = sim.stored["data/items.jl"].decode()
+    got = sorted(json.loads(ln)["link"] for ln in body.splitlines())
+    assert got == ["http://x/1", "http://x/2", "http://x/3"]
