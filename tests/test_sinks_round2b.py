@@ -156,33 +156,57 @@ def test_msgpack_sink_roundtrip(feed_df, tmp_path):
 
 
 class _FakeServices(BaseHTTPRequestHandler):
-    """One loopback server playing Elasticsearch (POST /_bulk) and an
-    S3-compatible store (PUT /bucket/key)."""
+    """One loopback server playing Elasticsearch (POST /_bulk), an
+    S3-compatible store (PUT /bucket/key), CouchDB (PUT /db +
+    POST /db/_bulk_docs), and DynamoDB (POST / BatchWriteItem)."""
 
     docs: list = []
     objects: dict = {}
+    couch_docs: list = []
+    couch_dbs: list = []
+    dynamo_items: list = []
     lock = threading.Lock()
+
+    def _reply(self, status: int, payload: bytes = b"") -> None:
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
     def do_POST(self):  # noqa: N802
         body = self.rfile.read(int(self.headers["Content-Length"]))
+        target = self.headers.get("X-Amz-Target", "")
         if self.path.endswith("/_bulk"):
             lines = [ln for ln in body.decode().split("\n") if ln]
             with self.lock:
                 for action, doc in zip(lines[::2], lines[1::2]):
                     assert "index" in json.loads(action)
                     self.docs.append(json.loads(doc))
-            out = json.dumps({"errors": False, "items": []}).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(out)))
-            self.end_headers()
-            self.wfile.write(out)
+            self._reply(200, json.dumps({"errors": False, "items": []}).encode())
+        elif self.path.endswith("/_bulk_docs"):
+            with self.lock:
+                self.couch_docs.extend(json.loads(body)["docs"])
+            self._reply(201, b"[]")
+        elif target.endswith("BatchWriteItem"):
+            req = json.loads(body)["RequestItems"]
+            with self.lock:
+                for table, puts in req.items():
+                    for p in puts:
+                        self.dynamo_items.append((table, p["PutRequest"]["Item"]))
+            self._reply(200, json.dumps({"UnprocessedItems": {}}).encode())
         else:
-            self.send_response(404)
-            self.end_headers()
+            self._reply(404)
 
     def do_PUT(self):  # noqa: N802
         body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+        if self.path.startswith("/couch-"):  # CouchDB create database
+            with self.lock:
+                created = self.path in self.couch_dbs
+                if not created:
+                    self.couch_dbs.append(self.path)
+            self._reply(412 if created else 201, b"{}")
+            return
         with self.lock:
             self.objects[self.path] = body
         self.send_response(200)
@@ -341,3 +365,43 @@ def test_ftp_jsonl_sink(feed_df):
     body = sim.stored["data/items.jl"].decode()
     got = sorted(json.loads(ln)["link"] for ln in body.splitlines())
     assert got == ["http://x/1", "http://x/2", "http://x/3"]
+
+
+def test_couchdb_sink(feed_df, services):
+    from silkworm_spark.operators.sinks import write_couchdb
+
+    _FakeServices.couch_docs.clear()
+    n = write_couchdb(feed_df, services, database="couch-scrape",
+                      spider="quotes", username="u", password="p",
+                      batch_size=2)
+    assert n == 3
+    assert "/couch-scrape" in _FakeServices.couch_dbs
+    assert all(d["spider"] == "quotes" for d in _FakeServices.couch_docs)
+    got = sorted(d["data"]["link"] for d in _FakeServices.couch_docs)
+    assert got == ["http://x/1", "http://x/2", "http://x/3"]
+    # idempotent re-run: database already exists (412) is accepted
+    assert write_couchdb(feed_df, services, database="couch-scrape") == 3
+
+
+def test_dynamodb_sink(feed_df, services):
+    pytest.importorskip("boto3")
+    from silkworm_spark.operators.sinks import write_dynamodb
+
+    _FakeServices.dynamo_items.clear()
+    n = write_dynamodb(feed_df, "crawl-items", spider="quotes",
+                       endpoint_url=services, aws_access_key_id="k",
+                       aws_secret_access_key="s")
+    assert n == 3
+    assert all(t == "crawl-items" for t, _ in _FakeServices.dynamo_items)
+    items = [i for _, i in _FakeServices.dynamo_items]
+    assert all(i["spider"]["S"] == "quotes" for i in items)
+    got = sorted(json.loads(i["data"]["S"])["link"] for i in items)
+    assert got == ["http://x/1", "http://x/2", "http://x/3"]
+    # deterministic ids: same data -> same id prefix on re-run
+    ids1 = sorted(i["id"]["S"] for i in items)
+    _FakeServices.dynamo_items.clear()
+    write_dynamodb(feed_df, "crawl-items", spider="quotes",
+                   endpoint_url=services, aws_access_key_id="k",
+                   aws_secret_access_key="s")
+    ids2 = sorted(i["id"]["S"] for _, i in _FakeServices.dynamo_items)
+    assert ids1 == ids2
