@@ -730,11 +730,112 @@ def write_dynamodb(
     return n
 
 
+def bson_encode(doc: dict) -> bytes:
+    """Spec-conformant BSON encoder for the JSON-item subset
+    (str/float/int/bool/None/dict/list) — no pymongo in this sandbox,
+    and the MongoDB wire protocol needs only this much. Ints fit into
+    int32 when they can (0x10), else int64 (0x12), matching driver
+    behavior."""
+    import struct as _s
+
+    def elem(name: str, v) -> bytes:
+        key = name.encode("utf-8") + b"\x00"
+        if v is None:
+            return b"\x0a" + key
+        if isinstance(v, bool):
+            return b"\x08" + key + (b"\x01" if v else b"\x00")
+        if isinstance(v, int):
+            if -(1 << 31) <= v < (1 << 31):
+                return b"\x10" + key + _s.pack("<i", v)
+            return b"\x12" + key + _s.pack("<q", v)
+        if isinstance(v, float):
+            return b"\x01" + key + _s.pack("<d", v)
+        if isinstance(v, str):
+            b = v.encode("utf-8") + b"\x00"
+            return b"\x02" + key + _s.pack("<i", len(b)) + b
+        if isinstance(v, dict):
+            return b"\x03" + key + bson_encode(v)
+        if isinstance(v, (list, tuple)):
+            return b"\x04" + key + bson_encode(
+                {str(i): x for i, x in enumerate(v)})
+        raise TypeError(f"bson: unsupported type {type(v).__name__}")
+
+    body = b"".join(elem(k, v) for k, v in doc.items())
+    return _s.pack("<i", len(body) + 5) + body + b"\x00"
+
+
+def write_mongodb(
+    df: DataFrame, host: str = "localhost", port: int = 27017,
+    database: str = "scraping", collection: str = "items",
+    batch_size: int = 500, timeout_s: float = 10.0,
+) -> int:
+    """MongoDBPipeline (pipelines.py:1315-1388): items inserted into
+    ``database.collection``. The reference's per-item ``insert_one``
+    becomes batched ``insert`` commands spoken directly over the
+    OP_MSG wire protocol (stdlib socket + the BSON encoder above —
+    neither pymongo nor motor exists in this sandbox). One connection,
+    driver-side like the reference."""
+    import socket as _sock
+    import struct as _s
+
+    OP_MSG = 2013
+    conn = _sock.create_connection((host, port), timeout=timeout_s)
+    req_id = 0
+
+    def read_exact(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise RuntimeError("mongodb connection closed mid-reply")
+            buf += c
+        return buf
+
+    def insert(docs: list) -> None:
+        nonlocal req_id
+        req_id += 1
+        body = bson_encode({
+            "insert": collection, "$db": database, "ordered": True,
+            "documents": docs,
+        })
+        payload = _s.pack("<i", 0) + b"\x00" + body  # flagBits + section 0
+        msg = _s.pack("<iiii", 16 + len(payload), req_id, 0, OP_MSG) + payload
+        conn.sendall(msg)
+        (length,) = _s.unpack("<i", read_exact(4))
+        reply = read_exact(length - 4)
+        # header remainder(12) + flagBits(4) + kind(1) + bson: ok is a
+        # double at a fixed-enough offset only in theory — scan for it
+        doc = reply[17:]
+        if b"\x01ok\x00" not in doc:
+            raise RuntimeError("mongodb insert: malformed reply")
+        off = doc.index(b"\x01ok\x00") + 4
+        (ok,) = _s.unpack("<d", doc[off:off + 8])
+        if ok != 1.0:
+            raise RuntimeError(f"mongodb insert failed (ok={ok})")
+
+    n = 0
+    buf: list = []
+    try:
+        for item in _json_rows(df):
+            buf.append(item)
+            if len(buf) >= batch_size:
+                insert(buf)
+                n += len(buf)
+                buf = []
+        if buf:
+            insert(buf)
+            n += len(buf)
+    finally:
+        conn.close()
+    return n
+
+
 SINKS.update({
     "excel": write_excel,
     "ftp_jsonl": write_ftp_jsonl,
     "couchdb": write_couchdb,
     "dynamodb": write_dynamodb,
+    "mongodb": write_mongodb,
     "sqlite": write_sqlite,
     "duckdb": write_duckdb,
     "xml": write_xml,

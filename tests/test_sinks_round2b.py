@@ -405,3 +405,112 @@ def test_dynamodb_sink(feed_df, services):
                    aws_secret_access_key="s")
     ids2 = sorted(i["id"]["S"] for _, i in _FakeServices.dynamo_items)
     assert ids1 == ids2
+
+
+def _bson_decode(buf: bytes, pos: int = 0):
+    """Independent spec-based BSON decoder (subset) for the test."""
+    (total,) = struct.unpack_from("<i", buf, pos)
+    end = pos + total - 1
+    pos += 4
+    out = {}
+    while pos < end:
+        t = buf[pos]
+        pos += 1
+        z = buf.index(b"\x00", pos)
+        name = buf[pos:z].decode()
+        pos = z + 1
+        if t == 0x01:
+            (v,) = struct.unpack_from("<d", buf, pos); pos += 8
+        elif t == 0x02:
+            (ln,) = struct.unpack_from("<i", buf, pos)
+            v = buf[pos + 4:pos + 4 + ln - 1].decode(); pos += 4 + ln
+        elif t in (0x03, 0x04):
+            (ln,) = struct.unpack_from("<i", buf, pos)
+            v, _ = _bson_decode(buf, pos)
+            if t == 0x04:
+                v = [v[str(i)] for i in range(len(v))]
+            pos += ln
+        elif t == 0x08:
+            v = buf[pos] == 1; pos += 1
+        elif t == 0x0A:
+            v = None
+        elif t == 0x10:
+            (v,) = struct.unpack_from("<i", buf, pos); pos += 4
+        elif t == 0x12:
+            (v,) = struct.unpack_from("<q", buf, pos); pos += 8
+        else:
+            raise AssertionError(f"unhandled bson type {t:#x}")
+        out[name] = v
+    return out, end + 1
+
+
+def test_bson_golden_bytes():
+    from silkworm_spark.operators.sinks import bson_encode
+
+    # hand-computed from the BSON spec
+    assert bson_encode({"a": 1}) == bytes.fromhex("0c0000001061000100000000")
+    assert bson_encode({}) == bytes.fromhex("0500000000")
+    # 0x0f total = 4(len) + [02 's' 00  03000000 'hi' 00] (10) + 00
+    assert bson_encode({"s": "hi"}) == bytes.fromhex(
+        "0f00000002730003000000686900" + "00")
+    doc = {"f": 1.5, "b": True, "n": None, "big": 1 << 40,
+           "l": [1, "x"], "d": {"k": "v"}}
+    got, _ = _bson_decode(bson_encode(doc))
+    assert got == doc
+
+
+class _MongoSim(threading.Thread):
+    """Loopback OP_MSG server: parses insert commands, stores docs."""
+
+    def __init__(self):
+        super().__init__(daemon=True)
+        import socket as _s
+        self.inserted: list = []
+        self.srv = _s.socket()
+        self.srv.setsockopt(_s.SOL_SOCKET, _s.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+
+    def run(self):
+        from silkworm_spark.operators.sinks import bson_encode
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        while True:
+            head = b""
+            while len(head) < 16:
+                c = conn.recv(16 - len(head))
+                if not c:
+                    conn.close()
+                    self.srv.close()
+                    return
+                head += c
+            length, req_id, _resp, opcode = struct.unpack("<iiii", head)
+            assert opcode == 2013
+            body = b""
+            while len(body) < length - 16:
+                body += conn.recv(length - 16 - len(body))
+            assert body[4] == 0  # section kind 0
+            cmd, _ = _bson_decode(body, 5)
+            assert cmd["insert"] and cmd["$db"]
+            self.inserted.extend(
+                (cmd["$db"], cmd["insert"], d) for d in cmd["documents"])
+            ok = bson_encode({"ok": 1.0, "n": len(cmd["documents"])})
+            payload = struct.pack("<i", 0) + b"\x00" + ok
+            conn.sendall(struct.pack("<iiii", 16 + len(payload), 1,
+                                     req_id, 2013) + payload)
+
+
+def test_mongodb_sink(feed_df):
+    from silkworm_spark.operators.sinks import write_mongodb
+
+    sim = _MongoSim()
+    sim.start()
+    n = write_mongodb(feed_df, "127.0.0.1", sim.port,
+                      database="scrape", collection="quotes", batch_size=2)
+    assert n == 3
+    assert all(db == "scrape" and c == "quotes" for db, c, _ in sim.inserted)
+    got = sorted(d["link"] for _, _, d in sim.inserted)
+    assert got == ["http://x/1", "http://x/2", "http://x/3"]
