@@ -830,12 +830,125 @@ def write_mongodb(
     return n
 
 
+def write_postgresql(
+    df: DataFrame, host: str = "localhost", port: int = 5432,
+    user: str = "postgres", password: str | None = None,
+    database: str = "postgres", table: str = "items",
+    spider: str = "spark", batch_size: int = 500, timeout_s: float = 10.0,
+) -> int:
+    """PostgreSQLPipeline (pipelines.py:1667-1770): auto-creates
+    ``{table} (id SERIAL PRIMARY KEY, spider VARCHAR(255), data JSONB,
+    created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)`` and inserts
+    ``(spider, data=json(item))`` rows. Speaks the v3 simple-query
+    protocol over a stdlib socket (no asyncpg/psycopg here): trust and
+    cleartext auth; the reference's per-item ``$1,$2`` execute becomes
+    batched multi-row VALUES inserts. For cluster-scale fan-in use
+    ``df.write.jdbc`` with the PG driver jar instead — this mirrors
+    the reference's driver-side pipeline."""
+    import socket as _sock
+    import struct as _s
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"invalid table name: {table}")
+
+    conn = _sock.create_connection((host, port), timeout=timeout_s)
+
+    def read_exact(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise RuntimeError("postgresql connection closed")
+            buf += c
+        return buf
+
+    def read_msg() -> tuple[bytes, bytes]:
+        t = read_exact(1)
+        (ln,) = _s.unpack("!i", read_exact(4))
+        return t, read_exact(ln - 4)
+
+    def wait_ready() -> None:
+        while True:
+            t, body = read_msg()
+            if t == b"E":
+                fields = body.split(b"\x00")
+                msg = next((f[1:].decode() for f in fields
+                            if f[:1] == b"M"), "unknown")
+                raise RuntimeError(f"postgresql error: {msg}")
+            if t == b"Z":
+                return
+
+    # startup: protocol 3.0 + user/database params
+    params = f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+    conn.sendall(_s.pack("!ii", 8 + len(params), 196608) + params)
+    while True:
+        t, body = read_msg()
+        if t == b"R":
+            (code,) = _s.unpack_from("!i", body)
+            if code == 0:  # trust / auth ok
+                continue
+            if code == 3:  # cleartext password
+                if password is None:
+                    raise RuntimeError("postgresql requires a password")
+                p = password.encode() + b"\x00"
+                conn.sendall(b"p" + _s.pack("!i", 4 + len(p)) + p)
+                continue
+            raise RuntimeError(
+                f"postgresql auth method {code} unsupported "
+                "(trust/cleartext only)")
+        if t == b"E":
+            raise RuntimeError("postgresql startup rejected")
+        if t == b"Z":
+            break  # ReadyForQuery
+
+    def query(sql: str) -> None:
+        b = sql.encode() + b"\x00"
+        conn.sendall(b"Q" + _s.pack("!i", 4 + len(b)) + b)
+        wait_ready()
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    import json as _json
+
+    n = 0
+    buf: list[str] = []
+
+    def flush():
+        nonlocal n, buf
+        if not buf:
+            return
+        query(f"INSERT INTO {table} (spider, data) VALUES "
+              + ", ".join(buf))
+        n += len(buf)
+        buf = []
+
+    try:
+        query(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "id SERIAL PRIMARY KEY, spider VARCHAR(255) NOT NULL, "
+            "data JSONB NOT NULL, "
+            "created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)"
+        )
+        for item in _json_rows(df):
+            data = _json.dumps(item, ensure_ascii=False)
+            buf.append(f"({lit(spider)}, {lit(data)})")
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        conn.sendall(b"X" + _s.pack("!i", 4))  # Terminate
+    finally:
+        conn.close()
+    return n
+
+
 SINKS.update({
     "excel": write_excel,
     "ftp_jsonl": write_ftp_jsonl,
     "couchdb": write_couchdb,
     "dynamodb": write_dynamodb,
     "mongodb": write_mongodb,
+    "postgresql": write_postgresql,
     "sqlite": write_sqlite,
     "duckdb": write_duckdb,
     "xml": write_xml,

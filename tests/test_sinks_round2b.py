@@ -514,3 +514,90 @@ def test_mongodb_sink(feed_df):
     assert all(db == "scrape" and c == "quotes" for db, c, _ in sim.inserted)
     got = sorted(d["link"] for _, _, d in sim.inserted)
     assert got == ["http://x/1", "http://x/2", "http://x/3"]
+
+
+class _PgSim(threading.Thread):
+    """Loopback PostgreSQL v3 server: startup + cleartext auth +
+    simple-query. Records every SQL statement received."""
+
+    def __init__(self, auth: int = 0):
+        super().__init__(daemon=True)
+        import socket as _s
+        self.auth = auth  # 0 = trust, 3 = cleartext
+        self.queries: list = []
+        self.password: str | None = None
+        self.srv = _s.socket()
+        self.srv.setsockopt(_s.SOL_SOCKET, _s.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+
+    @staticmethod
+    def _read_exact(conn, n):
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise ConnectionError
+            buf += c
+        return buf
+
+    def run(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        try:
+            (ln,) = struct.unpack("!i", self._read_exact(conn, 4))
+            startup = self._read_exact(conn, ln - 4)
+            (proto,) = struct.unpack_from("!i", startup)
+            assert proto == 196608
+            conn.sendall(b"R" + struct.pack("!ii", 8, self.auth))
+            if self.auth == 3:
+                t = self._read_exact(conn, 1)
+                assert t == b"p"
+                (pl,) = struct.unpack("!i", self._read_exact(conn, 4))
+                self.password = self._read_exact(conn, pl - 4)[:-1].decode()
+                conn.sendall(b"R" + struct.pack("!ii", 8, 0))
+            conn.sendall(b"Z" + struct.pack("!i", 5) + b"I")
+            while True:
+                t = self._read_exact(conn, 1)
+                if t == b"X":
+                    return
+                assert t == b"Q"
+                (ql,) = struct.unpack("!i", self._read_exact(conn, 4))
+                sql = self._read_exact(conn, ql - 4)[:-1].decode()
+                self.queries.append(sql)
+                tag = b"INSERT 0 1\x00" if sql.startswith("INSERT") \
+                    else b"CREATE TABLE\x00"
+                conn.sendall(b"C" + struct.pack("!i", 4 + len(tag)) + tag)
+                conn.sendall(b"Z" + struct.pack("!i", 5) + b"I")
+        except (ConnectionError, OSError, AssertionError):
+            pass
+        finally:
+            conn.close()
+            self.srv.close()
+
+
+@pytest.mark.parametrize("auth", [0, 3], ids=["trust", "cleartext"])
+def test_postgresql_sink(feed_df, auth):
+    from silkworm_spark.operators.sinks import write_postgresql
+
+    sim = _PgSim(auth=auth)
+    sim.start()
+    n = write_postgresql(feed_df, "127.0.0.1", sim.port, user="u",
+                         password="sekrit", database="db",
+                         table="crawl_items", spider="quotes", batch_size=2)
+    sim.join(timeout=5)
+    assert n == 3
+    if auth == 3:
+        assert sim.password == "sekrit"
+    assert sim.queries[0].startswith("CREATE TABLE IF NOT EXISTS crawl_items")
+    inserts = [q for q in sim.queries if q.startswith("INSERT")]
+    assert len(inserts) == 2  # batch_size=2 -> 2 + 1 rows
+    joined = " ".join(inserts)
+    for link in ("http://x/1", "http://x/2", "http://x/3"):
+        assert link in joined
+    assert "'quotes'" in joined
+    with pytest.raises(ValueError):
+        write_postgresql(feed_df, "127.0.0.1", sim.port, table="bad;drop")
