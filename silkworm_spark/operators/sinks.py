@@ -942,7 +942,116 @@ def write_postgresql(
     return n
 
 
+def _avro_zigzag(v: int) -> bytes:
+    """Avro long: zigzag + base-128 varint (spec 'Primitive Types')."""
+    n = (v << 1) ^ (v >> 63) if v < 0 else v << 1
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_avro(df: DataFrame, path: str, record_name: str = "ScrapedItem",
+               block_rows: int = 1000) -> int:
+    """AvroPipeline (pipelines.py:1144-1244): items as an Avro Object
+    Container File. fastavro isn't available here, so this writes the
+    OCF format directly (stdlib): null codec, deterministic sync
+    marker (md5 of the schema JSON — replay-stable), one data block
+    per ``block_rows``. The reference infers a nullable-union schema
+    from the FIRST ITEM; here it derives from the DataFrame schema
+    (strictly more reliable) with the same mapping — string/long/
+    double/boolean, arrays element-wise, structs/maps JSON-stringified
+    — and every field as ``["null", T]``."""
+    import hashlib as _h
+    import json as _json
+    import struct as _s
+
+    def avro_type(dt: T.DataType):
+        if isinstance(dt, (T.StringType,)):
+            return "string"
+        if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+            return "long"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.ArrayType):
+            return {"type": "array", "items": avro_type(dt.elementType)}
+        return "string"  # struct/map/binary → JSON string (reference rule)
+
+    fields = [{"name": f.name, "type": ["null", avro_type(f.dataType)]}
+              for f in df.schema.fields]
+    schema = {"type": "record", "name": record_name, "fields": fields}
+    schema_json = _json.dumps(schema)
+
+    def enc_value(t, v) -> bytes:
+        if t == "string":
+            if not isinstance(v, str):
+                v = _json.dumps(v, ensure_ascii=False)
+            b = v.encode("utf-8")
+            return _avro_zigzag(len(b)) + b
+        if t == "long":
+            return _avro_zigzag(int(v))
+        if t == "double":
+            return _s.pack("<d", float(v))
+        if t == "boolean":
+            return b"\x01" if v else b"\x00"
+        if isinstance(t, dict) and t.get("type") == "array":
+            if not v:
+                return _avro_zigzag(0)
+            items = b"".join(enc_value(t["items"], x) for x in v)
+            return _avro_zigzag(len(v)) + items + _avro_zigzag(0)
+        raise TypeError(f"avro: unsupported type {t}")
+
+    def enc_record(row: dict) -> bytes:
+        out = []
+        for f in fields:
+            v = row.get(f["name"])
+            if v is None:
+                out.append(_avro_zigzag(0))  # union branch: null
+            else:
+                out.append(_avro_zigzag(1) + enc_value(f["type"][1], v))
+        return b"".join(out)
+
+    sync = _h.md5(schema_json.encode()).digest()
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": b"null"}
+    n = 0
+    with open(path, "wb") as fp:
+        fp.write(b"Obj\x01")
+        fp.write(_avro_zigzag(len(meta)))
+        for k, v in meta.items():
+            kb = k.encode()
+            fp.write(_avro_zigzag(len(kb)) + kb + _avro_zigzag(len(v)) + v)
+        fp.write(_avro_zigzag(0))  # end of metadata map
+        fp.write(sync)
+
+        block: list[bytes] = []
+
+        def flush():
+            nonlocal block, n
+            if not block:
+                return
+            payload = b"".join(block)
+            fp.write(_avro_zigzag(len(block)) + _avro_zigzag(len(payload)))
+            fp.write(payload + sync)
+            n += len(block)
+            block = []
+
+        for row in df.toLocalIterator():
+            block.append(enc_record(row.asDict(recursive=True)))
+            if len(block) >= block_rows:
+                flush()
+        flush()
+    return n
+
+
 SINKS.update({
+    "avro": write_avro,
     "excel": write_excel,
     "ftp_jsonl": write_ftp_jsonl,
     "couchdb": write_couchdb,

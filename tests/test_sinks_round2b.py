@@ -601,3 +601,95 @@ def test_postgresql_sink(feed_df, auth):
     assert "'quotes'" in joined
     with pytest.raises(ValueError):
         write_postgresql(feed_df, "127.0.0.1", sim.port, table="bad;drop")
+
+
+def _avro_read(path: str):
+    """Independent spec-based OCF reader (null codec, the writer's
+    type subset) — validates the container framing and record bytes."""
+    buf = open(path, "rb").read()
+    pos = 0
+
+    def rd(n):
+        nonlocal pos
+        b = buf[pos:pos + n]
+        pos += n
+        return b
+
+    def zz():
+        nonlocal pos
+        shift = acc = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (acc >> 1) ^ -(acc & 1)
+
+    assert rd(4) == b"Obj\x01"
+    meta = {}
+    while True:
+        cnt = zz()
+        if cnt == 0:
+            break
+        for _ in range(abs(cnt)):
+            k = rd(zz()).decode()
+            meta[k] = rd(zz())
+    schema = json.loads(meta["avro.schema"])
+    assert meta["avro.codec"] == b"null"
+    sync = rd(16)
+
+    def read_val(t):
+        if isinstance(t, list):  # union
+            return None if zz() == 0 else read_val(t[1])
+        if t == "string":
+            return rd(zz()).decode()
+        if t == "long":
+            return zz()
+        if t == "double":
+            return struct.unpack("<d", rd(8))[0]
+        if t == "boolean":
+            return rd(1) == b"\x01"
+        if isinstance(t, dict) and t["type"] == "array":
+            out = []
+            while True:
+                c = zz()
+                if c == 0:
+                    return out
+                out.extend(read_val(t["items"]) for _ in range(abs(c)))
+        raise AssertionError(f"unhandled avro type {t}")
+
+    records = []
+    while pos < len(buf):
+        cnt, _size = zz(), zz()
+        for _ in range(cnt):
+            records.append({f["name"]: read_val(f["type"])
+                            for f in schema["fields"]})
+        assert rd(16) == sync
+    return schema, records
+
+
+def test_avro_sink(spark, tmp_path):
+    from silkworm_spark.operators.sinks import write_avro
+
+    df = spark.createDataFrame(
+        [("d1", 5, 1.5, True, ["a", "b"], (7, "x")),
+         ("d2", None, None, None, [], None)],
+        "doc_id string, n long, score double, ok boolean, "
+        "tags array<string>, meta struct<k:int, s:string>",
+    )
+    p = str(tmp_path / "items.avro")
+    assert write_avro(df, p, block_rows=1) == 2  # multi-block container
+    schema, records = _avro_read(p)
+    assert schema["name"] == "ScrapedItem"
+    assert [f["type"] for f in schema["fields"]] == [
+        ["null", "string"], ["null", "long"], ["null", "double"],
+        ["null", "boolean"], ["null", {"type": "array", "items": "string"}],
+        ["null", "string"],  # struct -> JSON string
+    ]
+    by_id = {r["doc_id"]: r for r in records}
+    assert by_id["d1"]["n"] == 5 and by_id["d1"]["score"] == 1.5
+    assert by_id["d1"]["tags"] == ["a", "b"]
+    assert json.loads(by_id["d1"]["meta"]) == {"k": 7, "s": "x"}
+    assert by_id["d2"]["n"] is None and by_id["d2"]["tags"] == []
