@@ -1,15 +1,19 @@
-"""Item sinks — the v1 subset of the reference's 24 pipelines.
+"""Item sinks — 19 of the reference's 24 pipelines.
 
 The reference threads each item through an ordered pipeline chain
 (pipelines.py:197-200, engine.py:270-278); here a "pipeline" is a
-DataFrame transform and a "sink" is a writer. The two most-used
-reference sinks are mirrored natively (JSONL pipelines.py:295-385,
-CSV with struct flattening pipelines.py:735-809); the canonical
-output remains the checkpointed ``documents`` table (Parquet —
-standing in for the reference's Polars/Vortex columnar sinks,
-pipelines.py:920-993,1478-1555). Every other reference pipeline is a
-connector swap on ``df.write`` (JDBC for SQLite/MySQL/PG/Snowflake,
-spark-avro for Avro, es/mongo connectors), not engine semantics.
+DataFrame transform and a "sink" is a writer. Implemented: JSONL,
+CSV (struct flattening), Parquet (the checkpointed ``documents``
+table is the canonical columnar output, standing in for Polars/
+Vortex, pipelines.py:920-993,1478-1555), SQLite, DuckDB, XML, YAML,
+RSS, MsgPack, Excel, Avro, webhook, Elasticsearch, S3, FTP, CouchDB,
+DynamoDB, MongoDB, PostgreSQL — format sinks via stdlib encoders
+where the helper lib is absent (msgpack/OOXML/BSON/Avro-OCF), service
+sinks speaking the real wire protocol against loopback test servers.
+Not implemented: Taskiq (queue broker), GoogleSheets/Snowflake
+(OAuth/proprietary auth stacks), MySQL (auth handshake), SFTP (SSH)
+— on a real cluster these are ``df.write`` connector swaps (JDBC
+jars, spark-es), not engine semantics.
 """
 
 from __future__ import annotations
