@@ -1,4 +1,4 @@
-"""Item sinks — 19 of the reference's 24 pipelines.
+"""Item sinks — 20 of the reference's 24 pipelines.
 
 The reference threads each item through an ordered pipeline chain
 (pipelines.py:197-200, engine.py:270-278); here a "pipeline" is a
@@ -7,11 +7,11 @@ CSV (struct flattening), Parquet (the checkpointed ``documents``
 table is the canonical columnar output, standing in for Polars/
 Vortex, pipelines.py:920-993,1478-1555), SQLite, DuckDB, XML, YAML,
 RSS, MsgPack, Excel, Avro, webhook, Elasticsearch, S3, FTP, CouchDB,
-DynamoDB, MongoDB, PostgreSQL — format sinks via stdlib encoders
+DynamoDB, MongoDB, PostgreSQL, MySQL — format sinks via stdlib encoders
 where the helper lib is absent (msgpack/OOXML/BSON/Avro-OCF), service
 sinks speaking the real wire protocol against loopback test servers.
 Not implemented: Taskiq (queue broker), GoogleSheets/Snowflake
-(OAuth/proprietary auth stacks), MySQL (auth handshake), SFTP (SSH)
+(OAuth/proprietary auth stacks), SFTP (SSH)
 — on a real cluster these are ``df.write`` connector swaps (JDBC
 jars, spark-es), not engine semantics.
 """
@@ -80,10 +80,11 @@ SINKS = {
 # Their Spark analogs drain the DataFrame through the driver in Arrow
 # batches — the right shape for an embedded single-writer target.
 # Fan-in SERVICE sinks (webhook, elasticsearch) post executor-side,
-# per partition — the distributed shape. Remaining reference
-# connectors (Mongo/MySQL/PG/Snowflake/Cassandra/DynamoDB/Sheets/
-# Taskiq/FTP) are driver-protocol swaps of these two shapes; the JVM
-# connector route (`df.write.jdbc`, spark-es) needs jars absent here.
+# per partition — the distributed shape. The DB/cloud connectors
+# below (CouchDB/DynamoDB/Mongo/PG/MySQL/S3/FTP) are driver-protocol
+# writers matching the reference's single-client pipelines; the JVM
+# connector route (`df.write.jdbc`, spark-es) is the cluster-scale
+# fan-in alternative when the driver jars are available.
 
 
 def _json_rows(df: DataFrame):
@@ -1054,8 +1055,132 @@ def write_avro(df: DataFrame, path: str, record_name: str = "ScrapedItem",
     return n
 
 
+def write_mysql(
+    df: DataFrame, host: str = "localhost", port: int = 3306,
+    user: str = "root", password: str = "", database: str = "scraping",
+    table: str = "items", spider: str = "spark", batch_size: int = 500,
+    timeout_s: float = 10.0,
+) -> int:
+    """MySQLPipeline (pipelines.py:1557-1664): auto-creates
+    ``{table} (id INT AUTO_INCREMENT PRIMARY KEY, spider VARCHAR(255),
+    data JSON, created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)`` and
+    inserts ``(spider, data=json(item))`` rows. Speaks the MySQL
+    client/server protocol over a stdlib socket (no aiomysql here):
+    protocol-v10 handshake with ``mysql_native_password`` scramble
+    (SHA1(pass) XOR SHA1(salt+SHA1(SHA1(pass)))), then COM_QUERY with
+    batched multi-row VALUES. caching_sha2 servers must have the user
+    set to mysql_native_password; cluster-scale fan-in belongs to
+    ``df.write.jdbc`` with the MySQL driver jar."""
+    import hashlib as _h
+    import json as _json
+    import socket as _sock
+    import struct as _s
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"invalid table name: {table}")
+
+    conn = _sock.create_connection((host, port), timeout=timeout_s)
+
+    def read_exact(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise RuntimeError("mysql connection closed")
+            buf += c
+        return buf
+
+    def read_packet() -> tuple[int, bytes]:
+        head = read_exact(4)
+        ln = head[0] | head[1] << 8 | head[2] << 16
+        return head[3], read_exact(ln)
+
+    def send_packet(seq: int, payload: bytes) -> None:
+        ln = len(payload)
+        conn.sendall(bytes((ln & 0xFF, (ln >> 8) & 0xFF, (ln >> 16) & 0xFF,
+                            seq)) + payload)
+
+    def check_ok(body: bytes, what: str) -> None:
+        if body[:1] == b"\xff":
+            code = _s.unpack_from("<H", body, 1)[0]
+            raise RuntimeError(
+                f"mysql {what} failed (errno {code}): "
+                f"{body[9:].decode(errors='replace')}")
+
+    try:
+        # --- protocol v10 greeting ---
+        _, greet = read_packet()
+        if greet[:1] == b"\xff":
+            check_ok(greet, "connect")
+        assert greet[0] == 10, "unsupported mysql protocol version"
+        p = greet.index(b"\x00", 1) + 1  # skip server version
+        p += 4  # thread id
+        salt = greet[p:p + 8]
+        p += 8 + 1 + 2 + 1 + 2 + 2  # filler, caps low, charset, status, caps high
+        auth_len = greet[p]
+        p += 1 + 10
+        salt += greet[p:p + max(13, auth_len - 8)].rstrip(b"\x00")
+        salt = salt[:20]
+
+        if password:
+            sha_pw = _h.sha1(password.encode()).digest()
+            stage2 = _h.sha1(_h.sha1(sha_pw).digest())  # SHA1(SHA1(pass))
+            mix = _h.sha1(salt + stage2.digest()).digest()
+            token = bytes(a ^ b for a, b in zip(sha_pw, mix))
+        else:
+            token = b""
+
+        CAPS = 0x0200 | 0x8000 | 0x80000 | 0x8  # PROTO41|SECURE|PLUGIN_AUTH|WITH_DB
+        resp = (_s.pack("<IIB", CAPS, 1 << 24, 45) + b"\x00" * 23
+                + user.encode() + b"\x00"
+                + bytes([len(token)]) + token
+                + database.encode() + b"\x00"
+                + b"mysql_native_password\x00")
+        send_packet(1, resp)
+        _, body = read_packet()
+        check_ok(body, "auth")
+
+        def query(sql: str) -> None:
+            send_packet(0, b"\x03" + sql.encode())
+            _, body = read_packet()
+            check_ok(body, "query")
+
+        def lit(s: str) -> str:
+            return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+        query(
+            f"CREATE TABLE IF NOT EXISTS {table} ("
+            "id INT AUTO_INCREMENT PRIMARY KEY, "
+            "spider VARCHAR(255) NOT NULL, data JSON NOT NULL, "
+            "created_at TIMESTAMP DEFAULT CURRENT_TIMESTAMP)"
+        )
+        n = 0
+        buf: list[str] = []
+
+        def flush():
+            nonlocal n, buf
+            if not buf:
+                return
+            query(f"INSERT INTO {table} (spider, data) VALUES "
+                  + ", ".join(buf))
+            n += len(buf)
+            buf = []
+
+        for item in _json_rows(df):
+            data = _json.dumps(item, ensure_ascii=False)
+            buf.append(f"({lit(spider)}, {lit(data)})")
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        send_packet(0, b"\x01")  # COM_QUIT
+        return n
+    finally:
+        conn.close()
+
+
 SINKS.update({
     "avro": write_avro,
+    "mysql": write_mysql,
     "excel": write_excel,
     "ftp_jsonl": write_ftp_jsonl,
     "couchdb": write_couchdb,

@@ -693,3 +693,122 @@ def test_avro_sink(spark, tmp_path):
     assert by_id["d1"]["tags"] == ["a", "b"]
     assert json.loads(by_id["d1"]["meta"]) == {"k": 7, "s": "x"}
     assert by_id["d2"]["n"] is None and by_id["d2"]["tags"] == []
+
+
+class _MySqlSim(threading.Thread):
+    """Loopback MySQL server: protocol-v10 greeting, verifies the
+    mysql_native_password scramble, answers COM_QUERY with OK."""
+
+    SALT = b"12345678abcdefghijkl"  # 20 bytes
+
+    def __init__(self, password: str):
+        super().__init__(daemon=True)
+        import socket as _s
+        self.password = password
+        self.queries: list = []
+        self.auth_ok = False
+        self.srv = _s.socket()
+        self.srv.setsockopt(_s.SOL_SOCKET, _s.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+
+    @staticmethod
+    def _read_exact(conn, n):
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise ConnectionError
+            buf += c
+        return buf
+
+    def _read_packet(self, conn):
+        head = self._read_exact(conn, 4)
+        ln = head[0] | head[1] << 8 | head[2] << 16
+        return head[3], self._read_exact(conn, ln)
+
+    @staticmethod
+    def _send_packet(conn, seq, payload):
+        ln = len(payload)
+        conn.sendall(bytes((ln & 0xFF, (ln >> 8) & 0xFF, (ln >> 16) & 0xFF,
+                            seq)) + payload)
+
+    def _expected_token(self):
+        import hashlib
+        sha_pw = hashlib.sha1(self.password.encode()).digest()
+        stage2 = hashlib.sha1(hashlib.sha1(sha_pw).digest()).digest()
+        mix = hashlib.sha1(self.SALT + stage2).digest()
+        return bytes(a ^ b for a, b in zip(sha_pw, mix))
+
+    def run(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        try:
+            greeting = (bytes([10]) + b"8.0-fake\x00"
+                        + struct.pack("<I", 99)
+                        + self.SALT[:8] + b"\x00"
+                        + struct.pack("<H", 0xFFFF) + bytes([45])
+                        + struct.pack("<H", 2) + struct.pack("<H", 0xFFFF)
+                        + bytes([21]) + b"\x00" * 10
+                        + self.SALT[8:] + b"\x00"
+                        + b"mysql_native_password\x00")
+            self._send_packet(conn, 0, greeting)
+            _, resp = self._read_packet(conn)
+            # parse handshake response: caps(4) maxpkt(4) charset(1) 23x0
+            pos = 4 + 4 + 1 + 23
+            z = resp.index(b"\x00", pos)
+            user = resp[pos:z].decode()
+            pos = z + 1
+            tln = resp[pos]
+            token = resp[pos + 1:pos + 1 + tln]
+            self.auth_ok = (token == self._expected_token()
+                            if self.password else token == b"")
+            if not self.auth_ok:
+                self._send_packet(
+                    conn, 2, b"\xff" + struct.pack("<H", 1045)
+                    + b"#28000Access denied")
+                return
+            self._send_packet(conn, 2, b"\x00\x00\x00\x02\x00\x00\x00")  # OK
+            while True:
+                _, pkt = self._read_packet(conn)
+                if pkt[:1] == b"\x01":  # COM_QUIT
+                    return
+                assert pkt[:1] == b"\x03"
+                self.queries.append(pkt[1:].decode())
+                self._send_packet(conn, 1, b"\x00\x01\x00\x02\x00\x00\x00")
+        except (ConnectionError, OSError, AssertionError):
+            pass
+        finally:
+            conn.close()
+            self.srv.close()
+
+
+def test_mysql_sink(feed_df):
+    from silkworm_spark.operators.sinks import write_mysql
+
+    sim = _MySqlSim(password="sekrit")
+    sim.start()
+    n = write_mysql(feed_df, "127.0.0.1", sim.port, user="u",
+                    password="sekrit", database="db", table="crawl_items",
+                    spider="quotes", batch_size=2)
+    sim.join(timeout=5)
+    assert n == 3 and sim.auth_ok
+    assert sim.queries[0].startswith("CREATE TABLE IF NOT EXISTS crawl_items")
+    inserts = [q for q in sim.queries if q.startswith("INSERT")]
+    assert len(inserts) == 2
+    joined = " ".join(inserts)
+    for link in ("http://x/1", "http://x/2", "http://x/3"):
+        assert link in joined
+
+
+def test_mysql_sink_bad_password(feed_df):
+    from silkworm_spark.operators.sinks import write_mysql
+
+    sim = _MySqlSim(password="right")
+    sim.start()
+    with pytest.raises(RuntimeError, match="auth failed"):
+        write_mysql(feed_df, "127.0.0.1", sim.port, user="u",
+                    password="wrong", database="db")
