@@ -1,4 +1,4 @@
-"""Item sinks — 20 of the reference's 24 pipelines.
+"""Item sinks — 21 of the reference's 24 pipelines.
 
 The reference threads each item through an ordered pipeline chain
 (pipelines.py:197-200, engine.py:270-278); here a "pipeline" is a
@@ -7,7 +7,7 @@ CSV (struct flattening), Parquet (the checkpointed ``documents``
 table is the canonical columnar output, standing in for Polars/
 Vortex, pipelines.py:920-993,1478-1555), SQLite, DuckDB, XML, YAML,
 RSS, MsgPack, Excel, Avro, webhook, Elasticsearch, S3, FTP, CouchDB,
-DynamoDB, MongoDB, PostgreSQL, MySQL — format sinks via stdlib encoders
+DynamoDB, MongoDB, PostgreSQL, MySQL, Cassandra — format sinks via stdlib encoders
 where the helper lib is absent (msgpack/OOXML/BSON/Avro-OCF), service
 sinks speaking the real wire protocol against loopback test servers.
 Not implemented: Taskiq (queue broker), GoogleSheets/Snowflake
@@ -1178,8 +1178,127 @@ def write_mysql(
         conn.close()
 
 
+def write_cassandra(
+    df: DataFrame, host: str = "localhost", port: int = 9042,
+    keyspace: str = "scraping", table: str = "items", spider: str = "spark",
+    username: str | None = None, password: str | None = None,
+    batch_size: int = 100, timeout_s: float = 10.0,
+) -> int:
+    """CassandraPipeline (pipelines.py:2469-2604): creates the
+    keyspace (SimpleStrategy rf=1) and ``{table} (id uuid PRIMARY KEY,
+    spider text, data text, created_at timestamp)``, then inserts
+    ``(uuid, spider, json(item), now)`` rows. Speaks CQL native
+    protocol v4 over a stdlib socket (no cassandra-driver here):
+    STARTUP → READY/AUTHENTICATE (SASL PLAIN), QUERY frames; the
+    reference's per-item execute becomes UNLOGGED BATCHes. The
+    reference's ``uuid4`` id is replaced by a DETERMINISTIC uuid5 of
+    (data, index) so resumed crawls overwrite rather than duplicate."""
+    import json as _json
+    import socket as _sock
+    import struct as _s
+    import uuid as _uuid
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"invalid table name: {table}")
+    if not keyspace.replace("_", "").isalnum():
+        raise ValueError(f"invalid keyspace name: {keyspace}")
+
+    conn = _sock.create_connection((host, port), timeout=timeout_s)
+    stream = 0
+
+    def read_exact(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise RuntimeError("cassandra connection closed")
+            buf += c
+        return buf
+
+    def send_frame(opcode: int, body: bytes) -> None:
+        conn.sendall(_s.pack("!BBhBI", 0x04, 0, stream, opcode, len(body))
+                     + body)
+
+    def read_frame() -> tuple[int, bytes]:
+        ver, _flags, _stream, opcode, ln = _s.unpack("!BBhBI", read_exact(9))
+        body = read_exact(ln)
+        if opcode == 0x00:  # ERROR
+            (code,) = _s.unpack_from("!i", body)
+            (sl,) = _s.unpack_from("!H", body, 4)
+            raise RuntimeError(
+                f"cassandra error {code}: {body[6:6 + sl].decode()}")
+        return opcode, body
+
+    def short_str(s: str) -> bytes:
+        b = s.encode()
+        return _s.pack("!H", len(b)) + b
+
+    # STARTUP with the required CQL_VERSION option
+    send_frame(0x01, _s.pack("!H", 1) + short_str("CQL_VERSION")
+               + short_str("3.0.0"))
+    opcode, _body = read_frame()
+    if opcode == 0x03:  # AUTHENTICATE → SASL PLAIN
+        if not (username and password):
+            raise RuntimeError("cassandra requires credentials")
+        token = b"\x00" + username.encode() + b"\x00" + password.encode()
+        send_frame(0x0F, _s.pack("!i", len(token)) + token)
+        opcode, _body = read_frame()
+        if opcode != 0x10:  # AUTH_SUCCESS
+            raise RuntimeError("cassandra auth failed")
+    elif opcode != 0x02:  # READY
+        raise RuntimeError(f"cassandra startup: unexpected opcode {opcode}")
+
+    def query(cql: str) -> None:
+        b = cql.encode()
+        body = (_s.pack("!i", len(b)) + b
+                + _s.pack("!H", 0x0001)  # consistency ONE
+                + b"\x00")  # no flags
+        send_frame(0x07, body)
+        opcode, _body = read_frame()
+        if opcode != 0x08:  # RESULT
+            raise RuntimeError(f"cassandra query: unexpected opcode {opcode}")
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    try:
+        query(f"CREATE KEYSPACE IF NOT EXISTS {keyspace} WITH replication"
+              " = {'class': 'SimpleStrategy', 'replication_factor': 1}")
+        query(
+            f"CREATE TABLE IF NOT EXISTS {keyspace}.{table} ("
+            "id uuid PRIMARY KEY, spider text, data text, "
+            "created_at timestamp)"
+        )
+        n = 0
+        buf: list[str] = []
+
+        def flush():
+            nonlocal n, buf
+            if not buf:
+                return
+            query("BEGIN UNLOGGED BATCH " + " ".join(buf) + " APPLY BATCH;")
+            n += len(buf)
+            buf = []
+
+        for i, item in enumerate(_json_rows(df)):
+            data = _json.dumps(item, ensure_ascii=False)
+            rid = _uuid.uuid5(_uuid.NAMESPACE_URL, f"{data}#{i}")
+            buf.append(
+                f"INSERT INTO {keyspace}.{table} "
+                "(id, spider, data, created_at) VALUES "
+                f"({rid}, {lit(spider)}, {lit(data)}, toTimestamp(now()));"
+            )
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+        return n
+    finally:
+        conn.close()
+
+
 SINKS.update({
     "avro": write_avro,
+    "cassandra": write_cassandra,
     "mysql": write_mysql,
     "excel": write_excel,
     "ftp_jsonl": write_ftp_jsonl,

@@ -812,3 +812,105 @@ def test_mysql_sink_bad_password(feed_df):
     with pytest.raises(RuntimeError, match="auth failed"):
         write_mysql(feed_df, "127.0.0.1", sim.port, user="u",
                     password="wrong", database="db")
+
+
+class _CassandraSim(threading.Thread):
+    """Loopback CQL native-protocol-v4 server: STARTUP →
+    READY/AUTHENTICATE, SASL PLAIN check, QUERY → RESULT void."""
+
+    def __init__(self, password: str | None = None):
+        super().__init__(daemon=True)
+        import socket as _s
+        self.password = password
+        self.queries: list = []
+        self.auth_seen: tuple | None = None
+        self.srv = _s.socket()
+        self.srv.setsockopt(_s.SOL_SOCKET, _s.SO_REUSEADDR, 1)
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(4)
+        self.port = self.srv.getsockname()[1]
+
+    @staticmethod
+    def _read_exact(conn, n):
+        buf = b""
+        while len(buf) < n:
+            c = conn.recv(n - len(buf))
+            if not c:
+                raise ConnectionError
+            buf += c
+        return buf
+
+    def run(self):
+        try:
+            conn, _ = self.srv.accept()
+        except OSError:
+            return
+        try:
+            while True:
+                head = self._read_exact(conn, 9)
+                ver, _fl, stream, opcode, ln = struct.unpack("!BBhBI", head)
+                assert ver == 0x04
+                body = self._read_exact(conn, ln)
+
+                def reply(op, payload=b""):
+                    conn.sendall(struct.pack("!BBhBI", 0x84, 0, stream, op,
+                                             len(payload)) + payload)
+
+                if opcode == 0x01:  # STARTUP
+                    reply(0x03 if self.password else 0x02,
+                          b"\x00\x2forg.apache.cassandra.auth.PasswordAuthenticator"
+                          if self.password else b"")
+                elif opcode == 0x0F:  # AUTH_RESPONSE
+                    (tln,) = struct.unpack_from("!i", body)
+                    _, user, pw = body[4:4 + tln].split(b"\x00")
+                    self.auth_seen = (user.decode(), pw.decode())
+                    if pw.decode() == self.password:
+                        reply(0x10, struct.pack("!i", -1))  # AUTH_SUCCESS
+                    else:
+                        msg = b"bad credentials"
+                        reply(0x00, struct.pack("!i", 0x0100)
+                              + struct.pack("!H", len(msg)) + msg)
+                        return
+                elif opcode == 0x07:  # QUERY
+                    (qln,) = struct.unpack_from("!i", body)
+                    self.queries.append(body[4:4 + qln].decode())
+                    reply(0x08, struct.pack("!i", 1))  # RESULT void
+                else:
+                    return
+        except (ConnectionError, OSError, AssertionError):
+            pass
+        finally:
+            conn.close()
+            self.srv.close()
+
+
+@pytest.mark.parametrize("password", [None, "sekrit"], ids=["noauth", "plain"])
+def test_cassandra_sink(feed_df, password):
+    from silkworm_spark.operators.sinks import write_cassandra
+
+    sim = _CassandraSim(password=password)
+    sim.start()
+    n = write_cassandra(feed_df, "127.0.0.1", sim.port, keyspace="scrape",
+                        table="crawl_items", spider="quotes",
+                        username="u", password=password, batch_size=2)
+    sim.join(timeout=5)
+    assert n == 3
+    if password:
+        assert sim.auth_seen == ("u", password)
+    assert sim.queries[0].startswith("CREATE KEYSPACE IF NOT EXISTS scrape")
+    assert "CREATE TABLE IF NOT EXISTS scrape.crawl_items" in sim.queries[1]
+    batches = [q for q in sim.queries if q.startswith("BEGIN UNLOGGED BATCH")]
+    assert len(batches) == 2  # batch_size=2 over 3 rows
+    joined = " ".join(batches)
+    for link in ("http://x/1", "http://x/2", "http://x/3"):
+        assert link in joined
+    # deterministic uuid5 ids: identical re-run produces identical CQL
+    sim2 = _CassandraSim(password=password)
+    sim2.start()
+    write_cassandra(feed_df, "127.0.0.1", sim2.port, keyspace="scrape",
+                    table="crawl_items", spider="quotes",
+                    username="u", password=password, batch_size=2)
+    sim2.join(timeout=5)
+    b1 = [q for q in sim.queries if q.startswith("BEGIN")]
+    b2 = [q for q in sim2.queries if q.startswith("BEGIN")]
+    assert b1 == b2
