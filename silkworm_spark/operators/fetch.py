@@ -14,9 +14,11 @@ Each unroll step joins only the still-redirecting tail (a few % of
 rows), so the chain costs ~1 join at scale; AQE picks broadcast for
 the tail side automatically.
 
-Live mode: a ``mapInPandas`` batch fetcher (thread-pooled stdlib HTTP,
-per-host pacing inside the batch) for real deployments — code-complete
-but unused in this sandbox (no network).
+Live mode: a ``mapInPandas`` batch fetcher (thread-pooled stdlib HTTP)
+with per-host crawl-delay pacing and the same manually-driven redirect
+count/cap/loop semantics as the offline path — exercised against a
+loopback server in tests/test_live_fetch.py (no external network in
+this sandbox, but 127.0.0.1 is real HTTP).
 """
 
 from __future__ import annotations
@@ -291,23 +293,50 @@ def live_fetch(
     timeout_s: float = 30.0,
     concurrency: int = 16,
     default_headers: dict[str, str] | None = None,
+    max_redirects: int = 10,
+    default_delay_s: float = 0.0,
+    delay_col: str = "_delay_s",
 ) -> DataFrame:
     """Production fetch path: thread-pooled HTTP inside mapInPandas.
 
-    Per-host serialization happens *inside* each Arrow batch (rows are
-    already host-partitioned by the scheduler's salted repartition),
-    which is the distributed analog of the reference's semaphore-capped
-    client (http.py:43,89). Carries the full reference request surface
-    (http.py:67-152): method, merged query params (_build_url,
-    http.py:396-406), default∪request headers (http.py:96), request
-    body, per-request timeout override, per-request proxy from
-    ``meta['proxy']`` (http.py:68) falling back to the middleware
-    ``proxy`` column, UA from the middleware ``ua`` column. Response
-    headers come back normalized to a lowercase-key map
-    (http.py:323-364). Untestable in this sandbox (no network).
+    Politeness pacing: rows are GROUPED BY HOST inside each Arrow
+    batch; each host group runs serially on one pool thread with ≥
+    max(row's ``delay_col``, ``default_delay_s``) seconds between
+    request starts (the per-host timestamp persists across batches of
+    the partition). Distinct hosts fetch concurrently up to
+    ``concurrency`` — the distributed analog of the reference's
+    DelayMiddleware sleeps (middlewares.py:164-263) under its
+    semaphore-capped client (http.py:43,89). A hot host the scheduler
+    salted across partitions is paced per-partition; the scheduler's
+    politeness window already caps its total per-round slots, so the
+    global rate stays budget-bounded.
+
+    Redirects are driven MANUALLY (the opener's redirect handler is
+    disabled) so count/cap/loop semantics match ``offline_fetch``
+    exactly (reference http.py:80-152,427-464): follow
+    301/302/303/307/308 ``Location``, count ``redirect_times``, detect
+    loops via the visited set (error ``redirect_loop``), stop at
+    ``max_redirects`` (error ``too_many_redirects``); 301/302/303
+    switch non-GET/HEAD methods to GET and drop the body, 307/308
+    preserve both. Each hop is paced like a first request. Non-2xx
+    terminal statuses (404, 503, …) return as STATUS rows — body and
+    headers included, error NULL — exactly like the offline path, so
+    RetryMiddleware sees 5xx statuses (a plain urllib call would raise
+    and misreport them as fetch errors).
+
+    Carries the full reference request surface (http.py:67-152):
+    method, merged query params (_build_url, http.py:396-406),
+    default∪request headers (http.py:96), request body, per-request
+    timeout override, per-request proxy from ``meta['proxy']``
+    (http.py:68) falling back to the middleware ``proxy`` column, UA
+    from the middleware ``ua`` column. Response headers come back
+    normalized to a lowercase-key map (http.py:323-364). Tested
+    against a loopback server (tests/test_live_fetch.py): pacing
+    spacing, redirect chains/loops, status rows, wire headers.
     """
     carry = [f.name for f in batch.schema.fields
              if f.name in _CARRY or f.name in ("ua", "proxy")]
+    have_delay = delay_col in batch.columns
     out_schema = ", ".join(
         [f"{c} {batch.schema[c].dataType.simpleString()}" for c in carry]
         + [f"{f.name} {f.dataType.simpleString()}" for f in FETCH_RESULT_SCHEMA.fields
@@ -317,9 +346,21 @@ def live_fetch(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import concurrent.futures as cf
+        import urllib.error
+        import urllib.parse
         import urllib.request
+        from time import monotonic, sleep
 
         from silkworm_spark.functions.urls import merge_params
+
+        # host -> monotonic time of the last request START; persists
+        # across Arrow batches of this partition (host groups never run
+        # on two threads at once, so no lock is needed)
+        last_start: dict[str, float] = {}
+
+        class _NoRedirect(urllib.request.HTTPRedirectHandler):
+            def redirect_request(self, *a, **k):  # 3xx falls through
+                return None  # → HTTPError carrying code/headers/body
 
         def val(x):
             # pandas surfaces SQL NULLs as NaN/None depending on dtype
@@ -327,7 +368,42 @@ def live_fetch(
                 return None
             return x
 
+        def pace(host: str, delay: float) -> None:
+            if delay > 0:
+                wait = last_start.get(host, -1e18) + delay - monotonic()
+                if wait > 0:
+                    sleep(wait)
+            last_start[host] = monotonic()
+
+        def open_once(url, method, headers, data, proxy, tmo):
+            """One request, redirects NOT followed → (status, headers,
+            body, geturl)."""
+            req = urllib.request.Request(
+                url, data=data, headers=headers, method=method
+            )
+            handlers: list = [_NoRedirect()]
+            if proxy:
+                handlers.append(
+                    urllib.request.ProxyHandler({"http": proxy, "https": proxy})
+                )
+            opener = urllib.request.build_opener(*handlers)
+            try:
+                with opener.open(req, timeout=tmo) as resp:
+                    return resp.status, resp.headers, resp.read()
+            except urllib.error.HTTPError as e:
+                # non-2xx is still a response (reference returns it to
+                # the middleware chain, http.py:140-152)
+                try:
+                    body = e.read()
+                except Exception:
+                    body = b""
+                finally:
+                    e.close()
+                return e.code, e.headers, body
+
         def fetch_one(row: dict) -> dict:
+            row = dict(row)
+            delay = max(float(val(row.pop(delay_col, None)) or 0.0), default_delay_s)
             try:
                 headers = {str(k).lower(): str(v) for k, v in base_headers.items()}
                 if val(row.get("ua")):
@@ -336,29 +412,41 @@ def live_fetch(
                 for k, v in (val(row.get("headers")) or {}).items():
                     headers[str(k).lower()] = str(v)
                 url = merge_params(row["url"], val(row.get("params")))
-                req = urllib.request.Request(
-                    url, data=val(row.get("data")),
-                    headers=headers, method=val(row.get("method")) or "GET",
-                )
                 proxy = (val(row.get("meta")) or {}).get("proxy") or val(row.get("proxy"))
-                if proxy:
-                    opener = urllib.request.build_opener(
-                        urllib.request.ProxyHandler({"http": proxy, "https": proxy})
-                    )
-                    open_fn = opener.open
-                else:
-                    open_fn = urllib.request.urlopen
                 tmo = val(row.get("timeout")) or timeout_s
-                with open_fn(req, timeout=tmo) as resp:
-                    body = resp.read()
+                method = val(row.get("method")) or "GET"
+                data = val(row.get("data"))
+
+                cur, visited, redirect_times = url, [url], 0
+                for step in range(max_redirects + 1):
+                    pace(urllib.parse.urlsplit(cur).netloc, delay)
+                    status, hdrs, body = open_once(
+                        cur, method, headers, data, proxy, tmo
+                    )
+                    loc = hdrs.get("Location")
                     resp_headers = {
                         str(k).strip().lower(): str(v).strip()
-                        for k, v in resp.headers.items()
+                        for k, v in hdrs.items()
                     }
+                    if status not in REDIRECT_STATUSES or loc is None:
+                        err = None
+                    else:
+                        nxt = urllib.parse.urljoin(cur, loc)
+                        if nxt in visited:
+                            err = "redirect_loop"  # http.py:128-129
+                        elif step >= max_redirects:
+                            err = "too_many_redirects"  # http.py:119-122
+                        else:
+                            visited.append(nxt)
+                            cur = nxt
+                            redirect_times += 1  # http.py:461-463
+                            if status in (301, 302, 303) and method not in ("GET", "HEAD"):
+                                method, data = "GET", None
+                            continue
                     return dict(
-                        row, final_url=resp.geturl(), status=resp.status,
+                        row, final_url=cur, status=status,
                         content_type=resp_headers.get("content-type"),
-                        body=body, redirect_times=0, error=None,
+                        body=body, redirect_times=redirect_times, error=err,
                         resp_headers=resp_headers,
                     )
             except Exception as exc:
@@ -368,9 +456,16 @@ def live_fetch(
                     resp_headers=None,
                 )
 
+        cols = carry + ([delay_col] if have_delay else [])
         for pdf in batches:
-            rows = pdf[carry].to_dict("records")
-            with cf.ThreadPoolExecutor(max_workers=concurrency) as pool:
-                yield pd.DataFrame(list(pool.map(fetch_one, rows)))
+            rows = pdf[cols].to_dict("records")
+            groups: dict = {}
+            for r in rows:
+                groups.setdefault(r.get("host"), []).append(r)
+            with cf.ThreadPoolExecutor(
+                max_workers=min(concurrency, max(1, len(groups)))
+            ) as pool:
+                outs = pool.map(lambda g: [fetch_one(r) for r in g], groups.values())
+                yield pd.DataFrame([o for g in outs for o in g])
 
     return batch.mapInPandas(gen, schema=out_schema)

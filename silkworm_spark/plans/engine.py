@@ -403,6 +403,19 @@ class CrawlEngine:
                 prepared = apply_request_middlewares(
                     batch, cfg.user_agents, cfg.proxies
                 )
+                # robots crawl-delay rides along as a column so the
+                # fetch stage can pace each host group for real
+                # (no driver collect — the robots side is broadcast)
+                prepared = prepared.join(
+                    F.broadcast(
+                        robots.select(
+                            "host",
+                            (F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) / 1000.0)
+                            .alias("_delay_s"),
+                        )
+                    ),
+                    "host", "left",
+                )
                 if self.fetch_mode == "cdp":
                     # browser-rendered fetch (reference cdp.py): one
                     # CDP page session per partition, same result
@@ -420,6 +433,8 @@ class CrawlEngine:
                         prepared.repartition(nparts, "part"),
                         timeout_s=cfg.request_timeout,
                         default_headers=cfg.default_headers,
+                        max_redirects=cfg.max_redirects,
+                        default_delay_s=cfg.request_delay,
                     ).cache()
                 parse_src = raw_fetched.withColumn("body_len", F.length("body"))
                 meta_src = parse_src

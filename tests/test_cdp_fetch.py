@@ -13,6 +13,7 @@ from __future__ import annotations
 import base64
 import hashlib
 import json
+import os
 import socket
 import struct
 import threading
@@ -258,3 +259,26 @@ def test_cdp_crawl_end_to_end(cdp_endpoint, spark, tmp_path):
     assert stats.requests_sent == 2 and stats.responses_received == 2
     items = sorted(json.loads(r["item"])["title"] for r in eng.items().collect())
     assert items == ["cdp root", "cdp two"]
+
+
+@pytest.mark.skipif(
+    not os.environ.get("SILKWORM_CDP_WS"),
+    reason="set SILKWORM_CDP_WS=ws://host:port/... to smoke-test a real browser",
+)
+def test_cdp_real_browser_smoke():
+    """Opt-in smoke against a NON-synthetic CDP peer (real Chrome /
+    Lightpanda / chromium --headless --remote-debugging-port=9222):
+    exercises the stdlib RFC-6455 client's frame handling — masking,
+    fragmentation, big-payload reads — against a production
+    implementation instead of the loopback simulator. Point
+    SILKWORM_CDP_WS at the browser's DevTools websocket (the
+    webSocketDebuggerUrl from http://host:port/json/version)."""
+    from silkworm_spark.operators.cdp import CDPClient
+
+    client = CDPClient(os.environ["SILKWORM_CDP_WS"], timeout=20.0)
+    try:
+        res = client.fetch("about:blank")
+        assert res["error"] is None, res
+        assert isinstance(res["body"], (bytes, bytearray))
+    finally:
+        client.close()

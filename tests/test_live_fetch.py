@@ -26,13 +26,29 @@ PAGES = {
 }
 
 
+REDIRECTS = {
+    "/redirect": "/two",
+    "/chain1": "/chain2",
+    "/chain2": "/two",
+    "/loopa": "/loopb",
+    "/loopb": "/loopa",
+}
+
+HITS: dict[str, list[float]] = {}  # path -> monotonic request-start times
+HITS_LOCK = threading.Lock()
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "testsrv/1"
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
-        if self.path == "/redirect":
+        from time import monotonic
+
+        with HITS_LOCK:
+            HITS.setdefault(self.path.split("?")[0], []).append(monotonic())
+        if self.path in REDIRECTS:
             self.send_response(302)
-            self.send_header("Location", "/two")
+            self.send_header("Location", REDIRECTS[self.path])
             self.end_headers()
             return
         body = PAGES.get(self.path.split("?")[0])
@@ -98,12 +114,81 @@ def test_live_fetch_stage(server, spark):
     assert ok["resp_headers"]["content-type"].startswith("text/html")
     # the UA middleware column reached the wire
     assert ok["resp_headers"]["x-echo-ua"] in ("ua-a", "ua-b")
-    # urllib follows redirects: final_url is the target
+    # manual redirect driving: final_url is the target, hop counted
     red = out[f"{server}/redirect"]
     assert red["status"] == 200 and red["final_url"].endswith("/two")
-    # 404 raises HTTPError -> error row with NULL status (engine counts it)
+    assert red["redirect_times"] == 1 and red["error"] is None
+    # a 404 is a RESPONSE, not a fetch error (the reference returns it
+    # to the middleware chain; RetryMiddleware needs real statuses)
     missing = out[f"{server}/missing"]
-    assert missing["status"] is None and "404" in missing["error"]
+    assert missing["status"] == 404 and missing["error"] is None
+
+
+def _mk_batch(spark, server, paths, delay_s=None):
+    from pyspark.sql import functions as F
+
+    from silkworm_spark.schemas import FRONTIER_SCHEMA
+
+    rows = []
+    for i, path in enumerate(paths):
+        rows.append(dict(
+            url=f"{server}{path}", url_hash=i, host=f"127.0.0.1:{server.rsplit(':', 1)[1]}",
+            depth=0, parent_seq=-1, child_index=i, seq=i, callback="parse",
+            priority=0, dont_filter=False, retry_times=0, not_before=0.0,
+            round_added=0, method=None, headers=None,
+            params=None, meta=None, data=None, timeout=5.0,
+        ))
+    batch = spark.createDataFrame(
+        [tuple(r[f.name] for f in FRONTIER_SCHEMA.fields) for r in rows],
+        FRONTIER_SCHEMA,
+    ).withColumn("part", F.lit(0))
+    if delay_s is not None:
+        batch = batch.withColumn("_delay_s", F.lit(float(delay_s)))
+    return batch
+
+
+def test_live_fetch_redirect_chain_cap_and_loop(server, spark):
+    from silkworm_spark.operators.fetch import live_fetch
+
+    batch = _mk_batch(spark, server, ["/chain1", "/loopa", "/redirect"])
+    out = {r["url"]: r for r in live_fetch(batch, timeout_s=5).collect()}
+
+    chain = out[f"{server}/chain1"]  # /chain1 -> /chain2 -> /two
+    assert chain["redirect_times"] == 2 and chain["final_url"].endswith("/two")
+    assert chain["status"] == 200 and chain["error"] is None
+
+    loop = out[f"{server}/loopa"]  # /loopa -> /loopb -> /loopa: visited
+    assert loop["error"] == "redirect_loop" and loop["status"] == 302
+    assert loop["redirect_times"] == 1  # one followed hop before detection
+
+    # cap: max_redirects=1 turns the 2-hop chain into too_many_redirects
+    capped = {
+        r["url"]: r
+        for r in live_fetch(
+            _mk_batch(spark, server, ["/chain1"]), timeout_s=5, max_redirects=1
+        ).collect()
+    }[f"{server}/chain1"]
+    assert capped["error"] == "too_many_redirects" and capped["redirect_times"] == 1
+
+
+def test_live_fetch_paces_same_host(server, spark):
+    """Same-host requests must start ≥ crawl-delay apart (reference
+    DelayMiddleware, middlewares.py:164-263) — asserted from the
+    loopback server's own request-start timestamps."""
+    from silkworm_spark.operators.fetch import live_fetch
+
+    delay = 0.3
+    with HITS_LOCK:
+        HITS.pop("/two", None), HITS.pop("/", None)
+    batch = _mk_batch(spark, server, ["/", "/two", "/", "/two"], delay_s=delay)
+    out = live_fetch(batch.coalesce(1), timeout_s=5).collect()
+    assert all(r["status"] == 200 for r in out)
+    with HITS_LOCK:
+        times = sorted(HITS.get("/", []) + HITS.get("/two", []))
+    assert len(times) == 4
+    gaps = [b - a for a, b in zip(times, times[1:])]
+    # scheduling jitter only ever widens gaps; a violation shrinks them
+    assert all(g >= delay * 0.9 for g in gaps), gaps
 
 
 def test_live_crawl_end_to_end(server, spark, tmp_path):
