@@ -147,9 +147,18 @@ def minhash_lsh_pairs(
 
     Scale path: the band-bucket equi-join bounds comparisons to
     documents agreeing on a full band (r = k/bands rows), instead of
-    the quadratic all-pairs join."""
+    the quadratic all-pairs join.
+
+    The signature array (k longs, ~128 B) rides THROUGH the bucket
+    explode so the bucket self-join already carries both sides' sigs —
+    one shuffle join total. The alternative (bucket-join doc_id pairs,
+    then re-join a cached signature table twice to attach sig_a/sig_b)
+    costs two extra shuffle joins plus a cache materialization pass;
+    round 2 shipped that shape and it regressed the sf0.1 bench
+    3.05 → 4.25 s. est_jaccard is deterministic per (a, b), so the
+    final distinct is the same multi-band dedup either way."""
     rows_per_band = k // bands
-    sig = minhash_signatures(docs, k, n, text_col).cache()
+    sig = minhash_signatures(docs, k, n, text_col)
     band_cols = [
         F.md5(
             F.concat_ws(
@@ -164,24 +173,25 @@ def minhash_lsh_pairs(
     ]
     # prefix the band index so identical signatures in different bands don't collide
     buckets = sig.select(
-        "doc_id",
+        "doc_id", "sig",
         F.posexplode(F.array(*band_cols)).alias("band", "bucket"),
-    ).select("doc_id", F.concat_ws(":", F.col("band").cast("string"), "bucket").alias("bucket"))
+    ).select(
+        "doc_id", "sig",
+        F.concat_ws(":", F.col("band").cast("string"), "bucket").alias("bucket"),
+    )
 
-    a = buckets.select(F.col("doc_id").alias("a"), "bucket")
-    b = buckets.select(F.col("doc_id").alias("b"), "bucket")
-    cand = a.join(b, "bucket").filter(F.col("a") < F.col("b")).select("a", "b").distinct()
-
-    siga = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
-    sigb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    a = buckets.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"), "bucket")
+    b = buckets.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"), "bucket")
     est = F.round(
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
         / F.lit(k),
         4,
     )
     return (
-        cand.join(siga, "a").join(sigb, "b")
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
         .select("a", "b", est.alias("est_jaccard"))
+        .distinct()
     )
 
 

@@ -34,22 +34,35 @@ def assign_dense_seq(
     out_col: str = "seq",
     num_partitions: int | None = None,
     bounds: tuple | None = None,
-) -> tuple[DataFrame, int]:
+    probe_col: str | None = None,
+) -> tuple[DataFrame, int] | tuple[DataFrame, int, tuple]:
     """Returns (df with dense ``out_col`` in ``order_cols`` order,
     total row count). Requires the order key to be unique per row
     (it is: (parent_seq, child_index) is unique by construction).
 
     ``bounds`` = (min, max) of the leading order column when the caller
     already knows it (the engine does: parents' seq range) — skips one
-    full pass over the input."""
+    full pass over the input.
+
+    ``probe_col``: also return that column's (min, max) — piggybacked
+    on the bucket-count aggregation, so it costs no extra job. The
+    engine probes ``priority`` here to keep its uniform-priority flag
+    honest when spider callbacks yield prioritized Requests mid-crawl
+    (a prioritized child must demote the dequeue from the uniform
+    seq-horizon to the mixed-priority ruled-host-exempt horizon).
+    Return becomes (df, count, (min, max)); (None, None) when empty."""
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     lead = order_cols[0]
+
+    def ret(out: DataFrame, n: int, probe: tuple = (None, None)):
+        return (out, n, probe) if probe_col is not None else (out, n)
+
     if bounds is None:
         agg = df.agg(
             F.min(lead).alias("mn"), F.max(lead).alias("mx"), F.count("*").alias("n")
         ).first()
         if agg["n"] == 0:
-            return df.withColumn(out_col, F.lit(start).cast("long")), 0
+            return ret(df.withColumn(out_col, F.lit(start).cast("long")), 0)
         mn, mx = int(agg["mn"]), int(agg["mx"])
     else:
         mn, mx = int(bounds[0]), int(bounds[1])
@@ -59,7 +72,7 @@ def assign_dense_seq(
         lead = order_cols[1]
         agg = df.agg(F.min(lead).alias("mn"), F.max(lead).alias("mx")).first()
         if agg["mn"] is None:
-            return df.withColumn(out_col, F.lit(start).cast("long")), 0
+            return ret(df.withColumn(out_col, F.lit(start).cast("long")), 0)
         mn, mx = int(agg["mn"]), int(agg["mx"])
 
     n_buckets = max(1, parts * 4)
@@ -69,12 +82,19 @@ def assign_dense_seq(
         F.floor((F.col(lead) - F.lit(mn)) * F.lit(n_buckets) / F.lit(span)),
     ).cast("int")
     b = df.withColumn("_bkt", bucket)
-    counts = {
-        r["_bkt"]: r["cnt"]
-        for r in b.groupBy("_bkt").agg(F.count("*").alias("cnt")).collect()
-    }
+    probe_aggs = (
+        [F.min(probe_col).alias("_pmn"), F.max(probe_col).alias("_pmx")]
+        if probe_col is not None else []
+    )
+    rows = b.groupBy("_bkt").agg(F.count("*").alias("cnt"), *probe_aggs).collect()
+    counts = {r["_bkt"]: r["cnt"] for r in rows}
     if not counts:
-        return df.withColumn(out_col, F.lit(start).cast("long")), 0
+        return ret(df.withColumn(out_col, F.lit(start).cast("long")), 0)
+    probe = (None, None)
+    if probe_col is not None:
+        pmns = [r["_pmn"] for r in rows if r["_pmn"] is not None]
+        pmxs = [r["_pmx"] for r in rows if r["_pmx"] is not None]
+        probe = (min(pmns), max(pmxs)) if pmns else (None, None)
     offsets, acc = {}, start
     for k in sorted(counts):
         offsets[k] = acc
@@ -86,4 +106,4 @@ def assign_dense_seq(
         .withColumn(out_col, (offmap[F.col("_bkt")] + F.col("_rn") - 1).cast("long"))
         .drop("_bkt", "_rn")
     )
-    return out, acc - start
+    return ret(out, acc - start, probe)

@@ -42,6 +42,25 @@ is still evaluated over the FULL eligible set (map-only broadcast
 join, no shuffle) so denial timing matches the golden simulator
 exactly.
 
+MIXED priorities (``mixed_priority=True``) stay horizon-prunable too,
+because priority can only influence selection through a FINITE host
+cap: a host with no politeness rule has cap=∞, so every one of its
+eligible rows is selected and the global cut is by seq alone — for
+such rows ``seq < H`` pruning is exact exactly as in the uniform
+case. Rows of RULED hosts (matched by the broadcast robots join) are
+exempted from the horizon — ``_has_rule OR seq < H`` — so a capped
+host's per-(priority desc, seq) ranking always sees all its rows.
+The window shuffle is O(budget + ruled-host frontier rows); politeness
+rule sets are config-scale (broadcast), so ruled rows are the small
+minority of a web-scale frontier. Exactness audit: after the budget
+cut, if any horizon pruning happened and the batch's kth seq reached
+H (possible only via exempt ruled rows with seq ≥ H), the horizon
+widens and the round re-runs — pruned unruled rows with seq < kth
+would otherwise have displaced batch rows. The engine's remaining
+full-window fallback is the one case where a FINITE cap applies to
+every host without a rule table entry: a global ``per_host_cap``
+config under non-uniform priority.
+
 The virtual clock makes politeness exactly reproducible in tests; in a
 wall-clock deployment ``vtime`` is seconds-since-epoch and nothing else
 changes.
@@ -156,19 +175,27 @@ def dequeue_round(
     target_rows_per_partition: int = 1000,
     horizon: tuple[int, int, int] | None = None,
     no_politeness: bool = False,
+    mixed_priority: bool = False,
 ) -> DequeueResult:
     """``horizon`` = (seq_floor, seq_next, factor) enables seq-horizon
-    pruning (see module docstring); pass None when row priorities are
-    not uniform — pruning would then be inexact.
+    pruning (see module docstring). With ``mixed_priority`` the pruning
+    exempts ruled hosts (their finite caps make priority matter) and
+    audits the budget cut against the horizon — exact for any priority
+    mix as long as every finite cap comes from the broadcast robots
+    table; pass horizon=None only when a global ``per_host_cap`` caps
+    rule-less hosts under non-uniform priority.
 
-    ``no_politeness`` (caller guarantees: robots table EMPTY, uniform
-    priority, no per-host cap) switches to the provably-equivalent
-    FIFO fast path: with no delays, budgets, or disallows, every
-    per-host cap is infinite and ranking reduces to "the round_budget
-    smallest eligible seqs" — ONE TakeOrdered job instead of the
-    window + agg + kth chain (at 16 cores that chain is ~1.5-2 s of
-    pure fixed cost per round; a real scheduler with zero politeness
-    rules loaded would do exactly this)."""
+    ``no_politeness`` (caller guarantees: robots table EMPTY and no
+    per-host cap — ANY priority mix is fine) switches to the provably-
+    equivalent FIFO fast path: with no delays, budgets, or disallows,
+    every per-host cap is infinite, so every eligible row is selected
+    and the global budget cut by seq reduces the whole dequeue to "the
+    round_budget smallest eligible seqs" — priority never influences
+    the outcome (it only reorders WITHIN a host's cap, and the cap is
+    infinite). ONE TakeOrdered job instead of the window + agg + kth
+    chain (at 16 cores that chain is ~1.5-2 s of pure fixed cost per
+    round; a real scheduler with zero politeness rules loaded would do
+    exactly this)."""
     window_end = vtime + round_seconds
 
     eligible = frontier.filter(F.col("not_before") <= F.lit(vtime))
@@ -185,6 +212,7 @@ def dequeue_round(
             F.col("disallow_prefixes").alias("_disallow"),
             (F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) / 1000.0).alias("_delay_s"),
             F.coalesce(F.col("fetch_budget"), F.lit(_INF)).alias("_budget"),
+            F.lit(True).alias("_has_rule"),
         )
     )
     hs = F.broadcast(
@@ -215,7 +243,12 @@ def dequeue_round(
 
         a = e.filter(~F.col("_denied"))
         if h_cap is not None:
-            a = a.filter(F.col("seq") < F.lit(h_cap))
+            in_horizon = F.col("seq") < F.lit(h_cap)
+            if mixed_priority:
+                # ruled hosts have finite caps, so their (priority desc,
+                # seq) ranking must see every row — exempt them
+                in_horizon = F.coalesce(F.col("_has_rule"), F.lit(False)) | in_horizon
+            a = a.filter(in_horizon)
         a = a.join(hs, on="host", how="left").withColumns(
             {
                 "_fetched": F.coalesce(F.col("_fetched"), F.lit(0)),
@@ -251,6 +284,7 @@ def dequeue_round(
         if h_cap >= seq_next:
             h_cap = None  # horizon already covers everything
 
+    kth: int | None = None
     while True:
         scored = build(h_cap).cache()
         st = scored.agg(
@@ -262,10 +296,30 @@ def dequeue_round(
         ).first()
         n_denied = int(st["nd"] or 0)
         n_sel = int(st["ns"] or 0)
-        if h_cap is None or n_sel >= round_budget:
+        if h_cap is None:
             break
-        # horizon too small to fill the budget — double and retry (each
-        # iteration is one cheap pruned-window job; terminates at seq_next)
+        if n_sel < round_budget:
+            # horizon too small to fill the budget — double and retry
+            # (each iteration is one cheap pruned-window job;
+            # terminates at seq_next)
+            scored.unpersist()
+            h_cap = floor + (h_cap - floor) * 2
+            if h_cap >= seq_next:
+                h_cap = None
+            continue
+        if not mixed_priority:
+            break  # every selected row has seq < H ⇒ the cut stays < H
+        # mixed-priority audit: exempt ruled rows may carry seq ≥ H into
+        # the selection; if the budget cut reaches H, unruled rows just
+        # past the horizon would have displaced batch rows — widen
+        kth = (
+            scored.filter(F.col("_sel"))
+            .select("seq").orderBy("seq").limit(round_budget)
+            .agg(F.max("seq")).first()[0]
+        ) if n_sel > round_budget else int(st["mx"])
+        if kth < h_cap:
+            break
+        kth = None
         scored.unpersist()
         h_cap = floor + (h_cap - floor) * 2
         if h_cap >= seq_next:
@@ -276,10 +330,11 @@ def dequeue_round(
     batch = scored.filter(F.col("_sel"))
     if n_sel > round_budget:
         # k-th smallest selected seq: narrow single-column TakeOrdered
-        kth = (
-            batch.select("seq").orderBy("seq").limit(round_budget)
-            .agg(F.max("seq")).first()[0]
-        )
+        if kth is None:
+            kth = (
+                batch.select("seq").orderBy("seq").limit(round_budget)
+                .agg(F.max("seq")).first()[0]
+            )
         batch = batch.filter(F.col("seq") <= kth)
         n_batch, seq_max = round_budget, kth
         floor_cand = min(x for x in (floor_cand, kth + 1) if x is not None)

@@ -219,17 +219,16 @@ class CrawlEngine:
             F.lit(0).alias("round_added"),
             *extras,
         )
-        assigned, n = assign_dense_seq(
-            frontier.drop("seq"), ["parent_seq", "child_index"], start=0
+        # uniformity probe rides the numbering job: all-zero seeds keep
+        # the dequeue on the uniform seq-horizon fast paths; each later
+        # round re-probes its new rows (a spider callback may yield
+        # prioritized Requests at any time) and demotes the flag
+        assigned, n, pr = assign_dense_seq(
+            frontier.drop("seq"), ["parent_seq", "child_index"], start=0,
+            probe_col="priority",
         )
         frontier = assigned.select(*_FRONTIER_COLS).cache()
-        # one materialization + uniformity probe: children and retries
-        # always inherit priority, so all-zero seeds ⇒ uniform forever
-        # ⇒ the dequeue may use exact seq-horizon pruning
-        pr = frontier.agg(
-            F.min("priority").alias("mn"), F.max("priority").alias("mx")
-        ).first()
-        uniform = pr["mn"] is None or (pr["mn"] == 0 and pr["mx"] == 0)
+        uniform = pr[0] is None or (pr[0] == 0 and pr[1] == 0)
         seen = frontier.filter(~F.col("dont_filter")).select(
             "url_hash", "url", F.lit(0).alias("round_added")
         )
@@ -330,6 +329,13 @@ class CrawlEngine:
                 if budget <= 0:
                     break  # reached the global page cap
             # J1 (+J1b when over budget)
+            # horizon pruning is exact for ANY priority mix as long as
+            # every finite host cap comes from the (broadcast) robots
+            # table — rule-less hosts have cap ∞, where priority cannot
+            # influence selection (scheduler module docstring). The one
+            # remaining full-window case: a global per_host_cap under
+            # non-uniform priority caps rule-less hosts too.
+            _inf_cap = cfg.per_host_cap >= (1 << 31) - 1
             dq = dequeue_round(
                 frontier, robots, host_state, vtime,
                 round_seconds=cfg.round_seconds,
@@ -338,15 +344,14 @@ class CrawlEngine:
                 num_partitions=cfg.num_partitions,
                 target_rows_per_partition=cfg.target_rows_per_partition,
                 horizon=(seq_floor, seq_next, cfg.horizon_factor)
-                if uniform_priority else None,
+                if (uniform_priority or _inf_cap) else None,
                 # provably-equivalent FIFO fast path: no robots rules
-                # loaded + uniform priority + no host cap ⇒ selection
-                # is exactly "budget smallest eligible seqs"
-                no_politeness=(
-                    uniform_priority
-                    and n_robots == 0
-                    and cfg.per_host_cap >= (1 << 31) - 1
-                ),
+                # loaded + no host cap ⇒ every per-host cap is infinite
+                # ⇒ selection is exactly "budget smallest eligible
+                # seqs" for ANY priority mix (priority only reorders
+                # within a host's infinite cap)
+                no_politeness=(n_robots == 0 and _inf_cap),
+                mixed_priority=not uniform_priority,
             )
             batch, denied = dq.batch, dq.denied
             n_batch, n_denied = dq.n_batch, dq.n_denied
@@ -606,11 +611,16 @@ class CrawlEngine:
             )
             fresh = deduped.cache()
             # J4: assign_dense_seq's bucket-count collect materializes
-            # `fresh` (anti-join + bloom probe) in the same pass
-            assigned, n_new = assign_dense_seq(
+            # `fresh` (anti-join + bloom probe) in the same pass; the
+            # priority probe rides along to keep uniform_priority honest
+            assigned, n_new, pr_new = assign_dense_seq(
                 fresh.drop("seq"), ["parent_seq", "child_index"], start=seq_next,
-                bounds=dq.seq_bounds,
+                bounds=dq.seq_bounds, probe_col="priority",
             )
+            if uniform_priority and pr_new[0] is not None and not (
+                pr_new[0] == 0 and pr_new[1] == 0
+            ):
+                uniform_priority = False
             new_rows = assigned.select(*_FRONTIER_COLS)
             seq_next += n_new
             tick("dedup_seq")

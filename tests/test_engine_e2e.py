@@ -85,6 +85,44 @@ def test_e2e_with_robots_and_politeness(spark, small_web, tmp_path):
     _assert_invariants(engine, sim)
 
 
+def _mixed_priorities(small_web):
+    """Seeds with priorities cycling {0,1,2} — demotes the engine off
+    every uniform-priority fast assumption."""
+    return dict(
+        small_web,
+        seeds=[dict(s, priority=int(s["seq"]) % 3) for s in small_web["seeds"]],
+    )
+
+
+def test_e2e_mixed_priority_no_politeness(spark, small_web, tmp_path):
+    """With no politeness rules every host cap is infinite, so priority
+    cannot influence the batch (the global budget cut is by seq — the
+    simulator's `selected.sort(seq)[:budget]`): the FIFO fast path must
+    stay provably equivalent under ANY priority mix."""
+    cfg = dict(max_rounds=30, round_budget=40)
+    engine, sim = _run_both(
+        spark, _mixed_priorities(small_web), tmp_path, cfg, with_robots=False
+    )
+    assert sim.rounds > 2 and len(sim.fetch_order) > 100
+    _assert_invariants(engine, sim)
+
+
+def test_e2e_mixed_priority_with_politeness(spark, small_web, tmp_path):
+    """Mixed priorities + robots rules: finite caps make priority
+    matter (a ruled host's cap prefers high-priority rows regardless of
+    seq). Exercises the ruled-host-exempt seq horizon — a tight
+    horizon_factor forces pruning plus the widening/audit loop — and
+    must still reproduce the simulator row for row."""
+    cfg = dict(max_rounds=18, round_seconds=1.0, round_budget=30,
+               horizon_factor=1)
+    engine, sim = _run_both(
+        spark, _mixed_priorities(small_web), tmp_path, cfg, with_robots=True
+    )
+    assert len(sim.fetch_order) > 50
+    assert engine.stats.robots_denied == sim.robots_denied
+    _assert_invariants(engine, sim)
+
+
 def test_e2e_slow_host_drains(spark, tmp_path):
     """crawl_delay_ms > round_seconds*1000 must NOT starve the host:
     with ceil politeness each window grants ≥1 slot once next_free <
