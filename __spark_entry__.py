@@ -684,6 +684,68 @@ FROM m
 """)
 
 
+def _multimodal_real_decode(spark, sf):
+    """REAL stdlib codecs end to end (operators/multimodal +
+    functions/media): every document gets genuine container bytes —
+    a valid PNG (zlib-deflated pixels), WAV, or multi-frame GIF89a
+    (minimal-LZW) — synthesized with dimensions that are pure
+    arithmetic on (doc_id, text length); decode_media then actually
+    parses those bytes (PNG IHDR, RIFF chunks, GIF block walk), so the
+    oracle's arithmetic matches only if the decoders read the real
+    containers correctly."""
+    from silkworm_spark.operators.multimodal import decode_media, synthesize_media
+
+    docs = _t(spark, sf, "documents")
+    return decode_media(synthesize_media(docs)).select(
+        "doc_id", "kind", "width", "height", "n_frames", "decoder"
+    )
+
+
+_reg("multimodal_real_decode", _multimodal_real_decode, """
+WITH m AS (
+  SELECT doc_id,
+         (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS kind,
+         octet_length(encode(text))::INT AS n
+  FROM documents)
+SELECT doc_id, kind,
+       (CASE kind WHEN 'image' THEN doc_id % 31 + 2
+                  WHEN 'audio' THEN 1
+                  ELSE doc_id % 15 + 2 END)::INT AS width,
+       (CASE kind WHEN 'image' THEN (doc_id * 7) % 23 + 2
+                  WHEN 'audio' THEN 8000
+                  ELSE (doc_id * 3) % 11 + 2 END)::INT AS height,
+       (CASE kind WHEN 'image' THEN 1
+                  WHEN 'audio' THEN n % 400 + 20
+                  ELSE doc_id % 5 + 2 END)::INT AS n_frames,
+       CASE kind WHEN 'image' THEN 'stdlib-png'
+                 WHEN 'audio' THEN 'stdlib-wav'
+                 ELSE 'stdlib-gif' END AS decoder
+FROM m
+""")
+
+
+def _multimodal_frame_sample(spark, sf):
+    """Uniform temporal frame sampling over decoded video features:
+    floor(i*n/k) indices, computed JVM-side (operators/multimodal.
+    frame_sample) over frame counts the GIF decoder read from real
+    container bytes."""
+    from silkworm_spark.operators.multimodal import (
+        decode_media, frame_sample, synthesize_media,
+    )
+
+    docs = _t(spark, sf, "documents")
+    return frame_sample(decode_media(synthesize_media(docs)), k=4)
+
+
+_reg("multimodal_frame_sample", _multimodal_frame_sample, """
+WITH v AS (
+  SELECT doc_id, (doc_id % 5 + 2)::INT AS n
+  FROM documents WHERE doc_id % 3 = 2),
+s AS (SELECT doc_id, n, unnest(range(least(4, n))) AS i FROM v)
+SELECT doc_id, (i * n // least(4, n))::INT AS frame_index FROM s
+""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 
