@@ -629,6 +629,45 @@ def write_ftp_jsonl(
     return len(lines)
 
 
+def write_sftp_jsonl(
+    df: DataFrame, host: str, user: str, password: str,
+    remote_path: str = "items.jl", port: int = 22, timeout_s: float = 30.0,
+    expected_host_key: bytes | None = None,
+) -> int:
+    """SFTPPipeline (pipelines.py:2347-2467): buffer all items as
+    JSONL, connect → authenticate → mkdir -p the parent directories →
+    upload → close. The reference wraps asyncssh; no SSH stack ships in
+    this sandbox, so ``operators/ssh.py`` implements the SSH-2
+    transport (curve25519-sha256 kex, ed25519 host keys, aes128-ctr +
+    hmac-sha2-256, password auth) and the SFTP v3 client from the
+    stdlib + pyca cryptography primitives, loopback-verified in
+    tests/test_sinks_sftp.py. One remote object → driver-side writer
+    like the reference. ``expected_host_key``: optional pinned raw
+    ed25519 server key (known-hosts semantics); the host-key SIGNATURE
+    over the exchange hash is verified unconditionally."""
+    import json as _json
+
+    from silkworm_spark.operators.ssh import SSHError, sftp_connect
+
+    lines = [_json.dumps(item, ensure_ascii=False) for item in _json_rows(df)]
+    if not lines:
+        return 0
+    cli = sftp_connect(host, port, user, password, timeout_s, expected_host_key)
+    try:
+        parts = [p for p in remote_path.split("/")[:-1] if p]
+        cur = ""
+        for p in parts:
+            cur = f"{cur}/{p}" if cur else p
+            try:
+                cli.mkdir(cur)
+            except SSHError:
+                pass  # already exists
+        cli.put_bytes(remote_path, ("\n".join(lines) + "\n").encode("utf-8"))
+    finally:
+        cli.close()
+    return len(lines)
+
+
 def write_couchdb(
     df: DataFrame, url: str = "http://localhost:5984",
     database: str = "scraping", spider: str = "spark",
