@@ -1,0 +1,123 @@
+"""Physical-plan audits: the scale properties the engine claims must
+be visible in the plans Catalyst actually produces.
+
+- The FIFO fast-path dequeue's seq-horizon filter must reach the
+  frontier parquet scan as a PUSHED filter (file/row-group pruning via
+  min/max stats — the O(budget) dequeue property).
+- The body-free metadata twin of the offline fetch must COLUMN-PRUNE
+  the page-body binary out of its resolved-table scan (bodies stream
+  through the parse join exactly once per round).
+- The uniform-priority politeness path must push the horizon below the
+  robots broadcast join onto the frontier scan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def frontier_parquet(spark, tmp_path_factory):
+    from silkworm_spark.schemas import FRONTIER_SCHEMA
+
+    path = str(tmp_path_factory.mktemp("fr") / "frontier")
+    rows = []
+    for seq in range(2000):
+        rows.append((
+            f"http://h{seq % 7}.test/p{seq}", seq, f"h{seq % 7}.test", 0,
+            -1, seq, seq, "parse", 0, False, 0, 0.0, 0,
+            None, None, None, None, None, None,
+        ))
+    df = spark.createDataFrame(rows, FRONTIER_SCHEMA)
+    # disjoint seq ranges per file — the checkpoint's delta layout
+    df.repartitionByRange(8, "seq").write.parquet(path)
+    return spark.read.schema(FRONTIER_SCHEMA).parquet(path)
+
+
+def test_fifo_dequeue_pushes_seq_horizon(spark, frontier_parquet):
+    from silkworm_spark.operators.scheduler import dequeue_round
+    from silkworm_spark.plans.checkpoint import _empty_df
+    from silkworm_spark.schemas import HOST_STATE_SCHEMA, ROBOTS_SCHEMA
+
+    dq = dequeue_round(
+        frontier_parquet, _empty_df(spark, ROBOTS_SCHEMA),
+        _empty_df(spark, HOST_STATE_SCHEMA), vtime=0.0,
+        round_budget=100, horizon=(0, 2000, 4), no_politeness=True,
+    )
+    try:
+        plan = _plan(dq.batch)
+        assert "PushedFilters" in plan
+        # the horizon (seq < 400) and the kth cut both reach the scan
+        assert "LessThan(seq" in plan or "LessThanOrEqual(seq" in plan, plan
+        assert dq.n_batch == 100
+    finally:
+        dq.release()
+
+
+def test_politeness_dequeue_pushes_horizon_below_robots_join(spark, frontier_parquet):
+    from silkworm_spark.operators.scheduler import dequeue_round
+    from silkworm_spark.plans.checkpoint import _empty_df
+    from silkworm_spark.schemas import HOST_STATE_SCHEMA, ROBOTS_SCHEMA
+
+    robots = spark.createDataFrame(
+        [("h0.test", [], 500, None)], ROBOTS_SCHEMA
+    )
+    dq = dequeue_round(
+        frontier_parquet, robots, _empty_df(spark, HOST_STATE_SCHEMA),
+        vtime=0.0, round_budget=100, horizon=(0, 2000, 4),
+    )
+    try:
+        plan = _plan(dq.batch)
+        # the uniform-priority horizon is frontier-side only, so
+        # Catalyst pushes it below the broadcast join into the scan
+        assert "LessThan(seq" in plan, plan
+        assert dq.n_batch == 100
+    finally:
+        dq.release()
+
+
+def test_metadata_twin_prunes_body_column(spark, tmp_path):
+    from silkworm_spark.operators.fetch import offline_fetch_resolved, resolve_web
+    from silkworm_spark.sources.webgen import build_web_df
+
+    web = build_web_df(spark, 200, 5)
+    rpath = str(tmp_path / "resolved")
+    resolve_web(web).write.parquet(rpath)
+    resolved = spark.read.parquet(rpath)
+
+    from silkworm_spark.schemas import FRONTIER_SCHEMA
+
+    defaults = dict(
+        url_hash=F.xxhash64("url"), host=F.lit("h.test"), depth=F.lit(0),
+        parent_seq=F.lit(-1).cast("long"), child_index=F.lit(0),
+        seq=F.lit(0).cast("long"), callback=F.lit("parse"),
+        priority=F.lit(0), dont_filter=F.lit(False), retry_times=F.lit(0),
+        not_before=F.lit(0.0), round_added=F.lit(0),
+    )
+    batch = web.limit(50).select(
+        F.col("url"),
+        *[
+            defaults.get(f.name, F.lit(None).cast(f.dataType)).alias(f.name)
+            for f in FRONTIER_SCHEMA.fields if f.name != "url"
+        ],
+        F.lit(0).alias("part"),
+    )
+    meta = offline_fetch_resolved(batch, resolved, n_batch=50, include_body=False)
+    plan = _plan(meta)
+    # every scan of the resolved table must read a schema WITHOUT the
+    # body binary — the metrics/retry twin never touches page bodies
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "resolved" not in line:
+            assert "body:binary" not in line, line
+    assert "body_len" in plan
