@@ -1,0 +1,176 @@
+"""robots.txt parsing → the engine's politeness rules table.
+
+The scheduler consumes ROBOTS_SCHEMA rows (host, disallow_prefixes,
+crawl_delay_ms, fetch_budget) — the north-rule politeness table. A
+live crawl has to DERIVE those rows from fetched ``/robots.txt``
+bodies; this module is that derivation, an RFC 9309 subset:
+
+- group selection: the group whose ``User-agent`` token is the
+  LONGEST case-insensitive substring match of the product token wins;
+  ``*`` groups are the fallback (RFC 9309 §2.2.1);
+- adjacent ``User-agent`` lines share one group; rules before any
+  User-agent line are ignored;
+- ``Disallow`` rules keep their path prefixes. The engine matches by
+  ``path.startswith(prefix)`` (no ``Allow`` precedence, no ``$``
+  anchors — SURVEY §2.3), so a pattern is truncated at its first
+  wildcard ``*``: the shortened prefix blocks a SUPERSET of the
+  pattern, i.e. the approximation always errs on the polite side.
+  ``Allow`` lines are parsed and ignored (recorded for callers that
+  want full-precision matching later);
+- empty ``Disallow:`` means allow-all and contributes no prefix;
+- ``Crawl-delay`` (the de-facto extension) → crawl_delay_ms.
+
+Pure functions + one Spark stage: ``robots_rules_from_responses``
+turns a DataFrame of fetched robots.txt responses into the politeness
+table, one row per host — built-in column ops plus one Arrow-batched
+parse of the body text.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RobotsGroup:
+    agents: list[str] = field(default_factory=list)
+    disallow: list[str] = field(default_factory=list)
+    allow: list[str] = field(default_factory=list)
+    crawl_delay_s: float | None = None
+
+
+def parse_robots_txt(text: str) -> list[RobotsGroup]:
+    """robots.txt body → list of user-agent groups, in file order."""
+    groups: list[RobotsGroup] = []
+    cur: RobotsGroup | None = None
+    in_agents = False  # adjacent User-agent lines accumulate one group
+    for raw in (text or "").lstrip("\ufeff").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if not in_agents:
+                cur = RobotsGroup()
+                groups.append(cur)
+                in_agents = True
+            cur.agents.append(value.lower())
+            continue
+        in_agents = False
+        if cur is None:
+            continue  # rules before any User-agent line: ignored
+        if key == "disallow":
+            if value:
+                cur.disallow.append(value)
+        elif key == "allow":
+            if value:
+                cur.allow.append(value)
+        elif key == "crawl-delay":
+            try:
+                cur.crawl_delay_s = float(value)
+            except ValueError:
+                pass
+    return groups
+
+
+def select_group(groups: list[RobotsGroup], user_agent: str) -> RobotsGroup | None:
+    """RFC 9309 §2.2.1: the group with the longest user-agent token
+    contained in the product token wins; ``*`` is the fallback."""
+    ua = (user_agent or "").lower()
+    best: RobotsGroup | None = None
+    best_len = -1
+    star: RobotsGroup | None = None
+    for g in groups:
+        for token in g.agents:
+            if token == "*":
+                if star is None:
+                    star = g
+            elif token in ua and len(token) > best_len:
+                best, best_len = g, len(token)
+    return best if best is not None else star
+
+
+def _engine_prefix(pattern: str) -> str:
+    """Disallow pattern → the prefix the engine's startswith matcher
+    uses: truncate at the first ``*`` (blocks a superset — polite
+    direction); drop a trailing ``$`` anchor the same way."""
+    p = pattern.split("*", 1)[0]
+    return p[:-1] if p.endswith("$") else p
+
+
+def robots_rules(
+    text: str, user_agent: str = "silkworm-spark",
+) -> tuple[list[str], float | None]:
+    """robots.txt body → (disallow_prefixes, crawl_delay_s) for the
+    given agent — the scalar core of the rules-table derivation."""
+    g = select_group(parse_robots_txt(text), user_agent)
+    if g is None:
+        return [], None
+    prefixes = []
+    for pat in g.disallow:
+        pref = _engine_prefix(pat)
+        if pref:
+            prefixes.append(pref)
+    # dedup in file order; drop prefixes shadowed by a shorter one
+    allset = set(prefixes)
+    seen: set[str] = set()
+    out: list[str] = []
+    for p in prefixes:
+        if p in seen:
+            continue
+        seen.add(p)
+        if not any(q != p and p.startswith(q) for q in allset):
+            out.append(p)
+    return out, g.crawl_delay_s
+
+
+def robots_rules_from_responses(
+    responses, user_agent: str = "silkworm-spark",
+    body_col: str = "body", host_col: str = "host", status_col: str = "status",
+):
+    """Fetched ``/robots.txt`` responses → ROBOTS_SCHEMA rows.
+
+    Status semantics per RFC 9309 §2.3.1: 4xx (unavailable) ⇒
+    allow-all (a row with no prefixes, so the host still gets a
+    politeness entry); 5xx/error ⇒ treat as DISALLOW-ALL (prefix "/")
+    until a fetch succeeds. One Arrow-batched pandas pass for the text
+    parse; everything else is column ops.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("disallow_prefixes", T.ArrayType(T.StringType())),
+            T.StructField("crawl_delay_ms", T.LongType()),
+            T.StructField("fetch_budget", T.IntegerType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                status = getattr(r, status_col)
+                body = getattr(r, body_col)
+                host = getattr(r, host_col)
+                if status is not None and 400 <= int(status) < 500:
+                    prefixes, delay = [], None
+                elif status is None or int(status) >= 500 or body is None:
+                    prefixes, delay = ["/"], None
+                else:
+                    text = bytes(body).decode("utf-8", "replace")
+                    prefixes, delay = robots_rules(text, user_agent)
+                rows.append(dict(
+                    host=host, disallow_prefixes=prefixes,
+                    crawl_delay_ms=int(delay * 1000) if delay else None,
+                    fetch_budget=None,
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    cols = [F.col(host_col), F.col(status_col), F.col(body_col)]
+    return responses.select(*cols).mapInPandas(gen, schema=out_schema)
