@@ -629,6 +629,118 @@ def write_ftp_jsonl(
     return len(lines)
 
 
+def google_service_account_jwt(
+    creds: dict, scope: str, now: int | None = None, lifetime_s: int = 3600,
+) -> str:
+    """RS256-signed service-account JWT (RFC 7519 + Google's OAuth2
+    jwt-bearer profile), built from the credentials-file fields with
+    pyca cryptography — no google-auth in this sandbox. The loopback
+    test verifies the signature against the account's PUBLIC key, so
+    the signing path is checked for real."""
+    import base64
+    import json as _json
+    import time
+
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    def b64url(b: bytes) -> bytes:
+        return base64.urlsafe_b64encode(b).rstrip(b"=")
+
+    iat = int(now if now is not None else time.time())
+    header = {"alg": "RS256", "typ": "JWT"}
+    claims = {
+        "iss": creds["client_email"],
+        "scope": scope,
+        "aud": creds["token_uri"],
+        "iat": iat,
+        "exp": iat + lifetime_s,
+    }
+    signing_input = (
+        b64url(_json.dumps(header, separators=(",", ":")).encode())
+        + b"."
+        + b64url(_json.dumps(claims, separators=(",", ":")).encode())
+    )
+    key = serialization.load_pem_private_key(
+        creds["private_key"].encode(), password=None
+    )
+    sig = key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
+    return (signing_input + b"." + b64url(sig)).decode()
+
+
+def write_google_sheets(
+    df: DataFrame, spreadsheet_id: str, credentials_file: str,
+    sheet_name: str = "Sheet1", batch_size: int = 100,
+    api_base: str = "https://sheets.googleapis.com",
+    timeout_s: float = 30.0,
+) -> int:
+    """GoogleSheetsPipeline (pipelines.py:1949-2120): flatten items
+    (nested dicts → ``a_b`` keys, lists → ", "-joined — the shared
+    ``flatten_for_tabular`` rule, pipelines.py:2102-2120), append a
+    header row once to ``{sheet}!A1`` then data rows to ``{sheet}!A2``
+    in ``batch_size`` batches with ``valueInputOption=RAW``
+    (pipelines.py:2060-2081).
+
+    Auth is the real service-account flow, not a mock: RS256 JWT
+    assertion → OAuth2 token endpoint (the ``token_uri`` from the
+    credentials file) → Bearer token on the Sheets v4 ``values:append``
+    calls. ``api_base`` is overridable so the loopback test can stand
+    in for ``sheets.googleapis.com``; the fake verifies the JWT
+    SIGNATURE with the account's public key and enforces the Bearer
+    token, so both hops are exercised against real wire bytes."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    rows_df = flatten_for_tabular(df)
+    fieldnames = rows_df.columns
+    data_rows = [
+        [None if r[c] is None else r[c] for c in fieldnames]
+        for r in rows_df.collect()
+    ]
+    if not data_rows:
+        return 0
+
+    with open(credentials_file) as f:
+        creds = _json.load(f)
+    assertion = google_service_account_jwt(
+        creds, "https://www.googleapis.com/auth/spreadsheets"
+    )
+    token_req = urllib.request.Request(
+        creds["token_uri"],
+        data=urllib.parse.urlencode({
+            "grant_type": "urn:ietf:params:oauth:grant-type:jwt-bearer",
+            "assertion": assertion,
+        }).encode(),
+        headers={"content-type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with urllib.request.urlopen(token_req, timeout=timeout_s) as resp:
+        token = _json.loads(resp.read())["access_token"]
+
+    def append(range_: str, values: list) -> None:
+        url = (
+            f"{api_base}/v4/spreadsheets/{urllib.parse.quote(spreadsheet_id)}"
+            f"/values/{urllib.parse.quote(range_, safe='')}"
+            ":append?valueInputOption=RAW"
+        )
+        req = urllib.request.Request(
+            url, data=_json.dumps({"values": values}).encode(),
+            headers={
+                "authorization": f"Bearer {token}",
+                "content-type": "application/json",
+            },
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s):
+            pass
+
+    append(f"{sheet_name}!A1", [fieldnames])  # header once
+    for pos in range(0, len(data_rows), batch_size):
+        append(f"{sheet_name}!A2", data_rows[pos:pos + batch_size])
+    return len(data_rows)
+
+
 def write_taskiq_redis(
     df: DataFrame, host: str, port: int = 6379,
     queue_name: str = "taskiq", task_name: str = ".:process_item",
