@@ -174,3 +174,52 @@ def robots_rules_from_responses(
 
     cols = [F.col(host_col), F.col(status_col), F.col(body_col)]
     return responses.select(*cols).mapInPandas(gen, schema=out_schema)
+
+
+def fetch_robots_rules(
+    seeds, user_agent: str = "silkworm-spark",
+    timeout_s: float = 10.0, default_scheme: str = "http",
+):
+    """Bootstrap the politeness table for a LIVE crawl: distinct hosts
+    from the seed list → one ``/robots.txt`` request per host through
+    the production fetch path (``live_fetch``: paced, manual
+    redirects, 404s as status rows — exactly the semantics RFC 9309
+    status handling needs) → ``robots_rules_from_responses``.
+
+    ``seeds``: any DataFrame with a ``url`` column (a ``host`` column
+    is used if already present). One request per distinct host; the
+    scheme is taken from the first seed URL of the host. Returns
+    ROBOTS_SCHEMA rows ready for ``CrawlEngine.initialize``."""
+    from pyspark.sql import functions as F
+
+    from silkworm_spark.functions.urls import host_udf
+    from silkworm_spark.operators.fetch import live_fetch
+
+    s = seeds
+    if "host" not in s.columns:
+        s = s.withColumn("host", host_udf("url"))
+    _sch = F.regexp_extract("url", r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    scheme = F.when(_sch != "", _sch).otherwise(F.lit(default_scheme))
+    hosts = (
+        s.groupBy("host")
+        .agg(F.first(scheme).alias("_scheme"), F.first("url").alias("_seed"))
+        # port must survive: host_of strips it, so re-derive the
+        # authority from the seed URL's prefix when it carries one
+        .withColumn(
+            "_auth",
+            F.regexp_extract("_seed", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/]+)", 1),
+        )
+        .select(
+            "host",
+            F.concat(
+                F.col("_scheme"), F.lit("://"),
+                F.when(F.col("_auth") != "", F.col("_auth")).otherwise(F.col("host")),
+                F.lit("/robots.txt"),
+            ).alias("url"),
+            F.lit(float(timeout_s)).alias("timeout"),
+            F.lit(user_agent).alias("ua"),
+            F.lit(0).alias("part"),
+        )
+    )
+    fetched = live_fetch(hosts, timeout_s=timeout_s)
+    return robots_rules_from_responses(fetched, user_agent)

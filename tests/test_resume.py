@@ -53,3 +53,26 @@ def test_compaction_preserves_frontier(spark, small_web, tmp_path):
     fb = sorted(r["seq"] for r in b.ckpt.read_frontier().collect())
     assert fa == fb
     assert len(a.ckpt.manifest["tables"]["frontier_delta"]) <= 2
+
+
+def test_resume_mixed_priority_with_politeness(spark, small_web, tmp_path):
+    """Exact resume under the round-3 mixed-priority dequeue (ruled-
+    host-exempt horizon + audit): the uniform_priority flag, per-band
+    state and horizon floors must all round-trip through the manifest."""
+    web = spark.createDataFrame(small_web["web"], WEB_SCHEMA)
+    mixed = [dict(s, priority=int(s["seq"]) % 3) for s in small_web["seeds"]]
+    seeds = seeds_df(spark, mixed)
+    robots = robots_df(spark, small_web["robots"])
+    cfg = dict(round_budget=30, horizon_factor=1)
+
+    full = run_crawl(spark, web, seeds, robots, str(tmp_path / "full"),
+                     CrawlConfig(max_rounds=8, **cfg))
+
+    partial = run_crawl(spark, web, seeds, robots, str(tmp_path / "part"),
+                        CrawlConfig(max_rounds=3, **cfg))
+    assert partial.stats.rounds == 3
+    resumed = CrawlEngine(spark, str(tmp_path / "part"),
+                          CrawlConfig(max_rounds=8, **cfg), web=web)
+    resumed.run()
+
+    assert _state(resumed) == _state(full)
