@@ -746,6 +746,76 @@ SELECT doc_id, (i * n // least(4, n))::INT AS frame_index FROM s
 """)
 
 
+# ---- composed training-data pipeline (corpus_pipeline.py) ----
+
+def _corpus_clean_pipeline(spark, sf):
+    """End-to-end cleaning composition (exact-dedup winners → quality
+    filter → per-language token accounting) verified as ONE value —
+    the stage outputs compose correctly, not just individually."""
+    from silkworm_spark.operators.corpus_pipeline import clean_corpus
+
+    return clean_corpus(_t(spark, sf, "documents"))
+
+
+_reg("corpus_clean_pipeline", _corpus_clean_pipeline, rf"""
+WITH winners AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents
+  GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+),
+kept AS (SELECT d.doc_id, d.text FROM documents d JOIN winners USING (doc_id)),
+q AS (
+  SELECT doc_id,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text), 4) AS alpha_ratio,
+         CASE WHEN length(text) < 100 THEN 'short'
+              WHEN length(text) < 300 THEN 'medium' ELSE 'long' END AS len_band
+  FROM kept),
+lang AS (
+  SELECT doc_id, list_max([{", ".join(
+      f"{{'hits': len(regexp_extract_all(lower(text), '{_marker_regex(w)}')), 'code': '{c}'}}"
+      for c, w in sorted(LANG_MARKERS.items(), reverse=True))}]).code AS lang_guess
+  FROM kept),
+toks AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens
+  FROM kept)
+SELECT lang_guess, count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       round(avg(alpha_ratio), 4) AS avg_alpha
+FROM q JOIN lang USING (doc_id) JOIN toks USING (doc_id)
+WHERE alpha_ratio >= 0.5 AND len_band != 'short'
+GROUP BY lang_guess
+""")
+
+
+def _corpus_hash_sample(spark, sf):
+    """Deterministic per-language downsampling by content-hash bucket
+    (reproducible across engines/repartitions — the sampling form a
+    resumable 100 TB job needs; sampleBy's RNG is not)."""
+    from silkworm_spark.operators.corpus_pipeline import hash_stratified_sample
+
+    return hash_stratified_sample(
+        _t(spark, sf, "documents"),
+        rates_permille={"en": 500, "de": 250, "fr": 250},
+        default_permille=100,
+    )
+
+
+_reg("corpus_hash_sample", _corpus_hash_sample, rf"""
+WITH lang AS (
+  SELECT doc_id, list_max([{", ".join(
+      f"{{'hits': len(regexp_extract_all(lower(text), '{_marker_regex(w)}')), 'code': '{c}'}}"
+      for c, w in sorted(LANG_MARKERS.items(), reverse=True))}]).code AS lang_guess
+  FROM documents)
+SELECT d.doc_id, l.lang_guess,
+       (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000) AS sample_bucket
+FROM documents d JOIN lang l USING (doc_id)
+WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000) <
+      (CASE l.lang_guess WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                         WHEN 'fr' THEN 250 ELSE 100 END)
+""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

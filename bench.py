@@ -252,6 +252,7 @@ QUERY_NAMES = [
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
+    "corpus_clean_pipeline", "corpus_hash_sample",
 ]
 
 
