@@ -162,3 +162,16 @@ def test_e2e_round_budget(spark, tmp_path):
     per_round = engine.fetch_log().groupBy("round").count().collect()
     assert all(r["count"] <= 25 for r in per_round)
     _assert_invariants(engine, sim)
+
+
+def test_e2e_mixed_priority_with_global_host_cap(spark, small_web, tmp_path):
+    """Mixed priorities + a global per_host_cap: the one dequeue
+    combination that must fall back to the full-frontier window
+    (a finite cap applies to RULE-LESS hosts, so no horizon is exact).
+    Correctness still must match the simulator row for row."""
+    cfg = dict(max_rounds=14, round_budget=25, per_host_cap=3)
+    engine, sim = _run_both(
+        spark, _mixed_priorities(small_web), tmp_path, cfg, with_robots=True
+    )
+    assert len(sim.fetch_order) > 40
+    _assert_invariants(engine, sim)
