@@ -7,6 +7,12 @@ from __future__ import annotations
 
 import numpy as np
 from hypothesis import given, settings
+
+# derandomized: the exploratory value of random search was banked while
+# writing these (two falsifying examples tightened the specs); in the
+# correctness gate the suite must be deterministic run to run
+settings.register_profile("silkworm", settings(derandomize=True))
+settings.load_profile("silkworm")
 from hypothesis import strategies as st
 
 from silkworm_spark.functions import media as M
@@ -64,13 +70,16 @@ def test_merge_params_preserves_existing_and_appends(url, params):
     got = parse_qs(urlsplit(merged).query, keep_blank_values=True)
     for k, v in params.items():
         assert v in got.get(k, []) or got.get(k) == [v]
-    # original query keys survive unless a param overrides them (the
-    # reference's merge semantics, http.py:396-406)
-    for k, vs in parse_qs(urlsplit(url).query, keep_blank_values=True).items():
+    # reference merge semantics (http.py:396-406): existing query keys
+    # collapse via dict(parse_qsl(...)) — LAST value per key wins —
+    # then params override colliding keys
+    from urllib.parse import parse_qsl
+
+    collapsed = dict(parse_qsl(urlsplit(url).query, keep_blank_values=True))
+    for k, v in collapsed.items():
         if k in params:
             continue
-        for v in vs:
-            assert v in got.get(k, [])
+        assert got.get(k) == [v], (k, v, got.get(k))
 
 
 @given(
