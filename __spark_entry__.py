@@ -816,6 +816,159 @@ WHERE (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000) <
 """)
 
 
+# ---- Gopher-style repetition signals (textstats.repetition_stats) ----
+
+_REPETITION_CTES = r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+t1 AS (
+  SELECT doc_id, max(c) AS m1, count(*) AS nd1, sum(c) AS n1
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id, unnest(w) AS g FROM words) GROUP BY 1, 2)
+  GROUP BY 1),
+g2 AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       FROM words, UNNEST(range(1, len(w))) AS t(i)),
+t2 AS (SELECT doc_id, max(c) AS m2, sum(c) AS n2
+       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY 1),
+g3 AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       FROM words, UNNEST(range(1, len(w) - 1)) AS t(i)),
+t3 AS (SELECT doc_id, max(c) AS m3, sum(c) AS n3
+       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY 1),
+rep AS (
+  SELECT t1.doc_id, n1::BIGINT AS n_tokens,
+         round(m1 * 1.0 / n1, 4) AS top_token_frac,
+         round(nd1 * 1.0 / n1, 4) AS distinct_token_ratio,
+         coalesce(round(m2 * 1.0 / n2, 4), 0.0) AS top_2gram_frac,
+         coalesce(round(m3 * 1.0 / n3, 4), 0.0) AS top_3gram_frac
+  FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+          LEFT JOIN t3 ON t1.doc_id = t3.doc_id)
+"""
+
+
+def _text_repetition(spark, sf):
+    """Gopher repetition filters (Rae et al. 2021): top token / 2-gram /
+    3-gram slot occupancy + distinct-token ratio, per document — pure
+    per-doc hash aggs, no cross-document joins (textstats.
+    repetition_stats)."""
+    from silkworm_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf, "documents"))
+
+
+_reg("text_repetition", _text_repetition, _REPETITION_CTES + """
+SELECT doc_id, n_tokens, top_token_frac, distinct_token_ratio,
+       top_2gram_frac, top_3gram_frac
+FROM rep
+""")
+
+
+def _contamination_ngrams(spark, sf):
+    """Benchmark decontamination: 4-gram overlap of the corpus
+    (doc_id % 50 != 0) against a held-out benchmark slice
+    (doc_id % 50 = 0); benchmark gram set broadcast, corpus never
+    shuffled (operators/decontam.py)."""
+    from silkworm_spark.operators.decontam import ngram_contamination
+
+    docs = _t(spark, sf, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+
+
+_reg("contamination_ngrams", _contamination_ngrams, _shingle_cte(4) + """
+, bench AS (SELECT DISTINCT h FROM sh WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, h FROM sh WHERE doc_id % 50 != 0),
+sizes AS (SELECT doc_id, count(*) AS n_grams FROM corp GROUP BY 1),
+hits AS (SELECT doc_id, count(*) AS n_overlap FROM corp JOIN bench USING (h) GROUP BY 1)
+SELECT doc_id, n_overlap::BIGINT AS n_overlap, n_grams::BIGINT AS n_grams,
+       round(n_overlap * 1.0 / n_grams, 4) AS overlap_frac
+FROM hits JOIN sizes USING (doc_id)
+""")
+
+
+def _dedup_clusters(spark, sf):
+    """Near-dup pairs → connected components (hash-min label
+    propagation, operators/graph.py): each clustered doc labeled with
+    its component's min doc_id — the keep/drop partition corpus dedup
+    actually applies (pairs alone aren't transitive)."""
+    from silkworm_spark.operators.graph import connected_components
+
+    edges = ngram_jaccard_pairs(
+        _t(spark, sf, "documents"), n=4, threshold=0.1, max_doc_freq=50
+    )
+    return connected_components(edges)
+
+
+_reg(
+    "dedup_clusters",
+    _dedup_clusters,
+    _shingle_cte(4).replace("WITH words", "WITH RECURSIVE words", 1) + """
+, dfreq AS (SELECT h, count(*) AS c FROM sh GROUP BY h),
+shc AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfreq USING (h) WHERE c <= 50),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n
+          FROM shc a JOIN shc b USING (h) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+pairs AS (
+  SELECT a, b
+  FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE round(n * 1.0 / (sa.sz + sb.sz - n), 4) >= 0.1),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src)
+SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
+""",
+)
+
+
+def _corpus_filter_policy(spark, sf):
+    """The combined keep/drop policy (corpus_pipeline.filter_corpus):
+    token floor + repetition caps + alpha floor, emitting survivors
+    with their audit features."""
+    from silkworm_spark.operators.corpus_pipeline import filter_corpus
+
+    return filter_corpus(_t(spark, sf, "documents"))
+
+
+_reg("corpus_filter_policy", _corpus_filter_policy, _REPETITION_CTES + rf"""
+, q AS (
+  SELECT doc_id,
+         round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+               / length(text), 4) AS alpha_ratio
+  FROM documents),
+lang AS (
+  SELECT doc_id, list_max([{", ".join(
+      f"{{'hits': len(regexp_extract_all(lower(text), '{_marker_regex(w)}')), 'code': '{c}'}}"
+      for c, w in sorted(LANG_MARKERS.items(), reverse=True))}]).code AS lang_guess
+  FROM documents)
+SELECT rep.doc_id, lang_guess, n_tokens, alpha_ratio,
+       top_token_frac, distinct_token_ratio, top_2gram_frac
+FROM rep JOIN q ON q.doc_id = rep.doc_id JOIN lang ON lang.doc_id = rep.doc_id
+WHERE n_tokens >= 30 AND top_token_frac <= 0.15
+  AND distinct_token_ratio >= 0.35 AND top_2gram_frac <= 0.08
+  AND alpha_ratio >= 0.5
+""")
+
+
+def _source_mix(spark, sf):
+    """Per-(source, language) composition report (corpus_pipeline.
+    source_mix): the mixture table a data recipe is checked against."""
+    from silkworm_spark.operators.corpus_pipeline import source_mix
+
+    return source_mix(_t(spark, sf, "documents"))
+
+
+_reg("source_mix", _source_mix, r"""
+SELECT source, lang, count(*)::BIGINT AS n_docs,
+       sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY 1, 2
+""")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(_Q)
 

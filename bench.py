@@ -253,6 +253,8 @@ QUERY_NAMES = [
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
     "corpus_clean_pipeline", "corpus_hash_sample",
+    "text_repetition", "contamination_ngrams", "dedup_clusters",
+    "corpus_filter_policy", "source_mix",
 ]
 
 

@@ -17,6 +17,10 @@ the whole chain is value-verified, not just its pieces:
   RNG) is the form that is reproducible across engines, resumable
   mid-pipeline, and stable under repartitioning — the properties a
   100 TB corpus job needs; DuckDB recomputes it bit-for-bit.
+- ``filter_corpus``: the combined document keep/drop policy (length
+  floor + Gopher repetition caps + alpha floor) with audit columns.
+- ``source_mix``: the per-(source, language) composition report a
+  data recipe is written against.
 """
 
 from __future__ import annotations
@@ -28,6 +32,7 @@ from silkworm_spark.operators.dedup_corpus import exact_dedup
 from silkworm_spark.operators.textstats import (
     lang_guess,
     quality_score,
+    repetition_stats,
     token_count_col,
 )
 
@@ -101,4 +106,63 @@ def hash_stratified_sample(
         .withColumn("_bucket", hash_bucket_col(F.col("doc_id").cast("string"), 1000))
         .filter(F.col("_bucket") < rate)
         .select("doc_id", "lang_guess", F.col("_bucket").alias("sample_bucket"))
+    )
+
+
+def filter_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 30,
+    max_top_token: float = 0.15,
+    min_distinct: float = 0.35,
+    max_top2: float = 0.08,
+    min_alpha: float = 0.5,
+) -> DataFrame:
+    """The combined document-level keep/drop policy: length floor +
+    Gopher-style repetition caps (top-token / top-2-gram occupancy,
+    distinct-token ratio) + alpha-ratio floor, returning the surviving
+    documents with the features the decision used (the audit columns a
+    filtering run must keep). Thresholds apply to the ROUNDED feature
+    values the stats operators emit, so the policy is reproducible
+    bit-for-bit by any engine computing the same features.
+
+    Shape at scale: repetition/quality/language are per-doc hash aggs
+    and column expressions; the three feature tables equi-join on
+    doc_id (co-partitioned by the same key — one shuffle each, no
+    skew: doc_id is unique)."""
+    q = quality_score(docs, text_col).select("doc_id", "alpha_ratio")
+    r = repetition_stats(docs, text_col)
+    lang = lang_guess(docs, text_col).select("doc_id", "lang_guess")
+    return (
+        r.join(q, "doc_id")
+        .join(lang, "doc_id")
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("top_token_frac") <= max_top_token)
+            & (F.col("distinct_token_ratio") >= min_distinct)
+            & (F.col("top_2gram_frac") <= max_top2)
+            & (F.col("alpha_ratio") >= min_alpha)
+        )
+        .select(
+            "doc_id", "lang_guess", "n_tokens", "alpha_ratio",
+            "top_token_frac", "distinct_token_ratio", "top_2gram_frac",
+        )
+    )
+
+
+def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(source, language) corpus composition report: document and
+    token counts plus mean document length — the mixture table a
+    pre-training data recipe is written against (and re-checked after
+    every filtering stage). One map-side-combinable hash agg."""
+    return (
+        docs.select(
+            "source", "lang", token_count_col(text_col).alias("_nt"), "n_chars"
+        )
+        .groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("n_tokens"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
     )

@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate pair edges.
+
+Near-dup mining (minhash-LSH / Jaccard / simhash in dedup_corpus)
+yields PAIRS; deduplication needs CLUSTERS — duplicates are
+transitive in practice (a~b, b~c ⇒ keep one of {a,b,c}), so the
+standard corpus pipeline step is: pairs → connected components →
+keep one representative per component.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+its own id; each round every node takes the min of its label and its
+neighbors' labels; fixpoint = components labeled by their min node id.
+Each round is ONE keyed shuffle (edge join + min-agg, both
+map-side-combinable) and converges in O(component diameter) rounds —
+near-dup clusters are dense and shallow (diameter ≤ ~3 for duplicate
+blobs), so 3-5 rounds is typical at any corpus size. For adversarial
+long-chain graphs the large-star/small-star variant (Kiveris et al.
+2014, "Connected Components in MapReduce and Beyond") drops the bound
+to O(log n) rounds; it is not needed for dedup workloads.
+
+The driver-side loop is the iterative-algorithm exception to the
+"declare one plan" rule: per round it launches one job and reads back
+ONE scalar (the changed-label count) — no data is collected. Lineage
+is truncated every round with localCheckpoint, so plan size stays
+constant regardless of round count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(doc_id, component) for every node appearing in ``edges``;
+    ``component`` is the minimum node id of the node's connected
+    component. Deterministic; raises if not converged in ``max_iter``
+    rounds (a dedup edge set converges in a handful)."""
+    und = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = und.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            ).select(F.col("dst").alias("node"), "comp")
+            new = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("comp").alias("comp"))
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("comp", "old"), "node")
+                .filter(F.col("comp") < F.col("old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                return labels.select(
+                    F.col("node").alias("doc_id"), F.col("comp").alias("component")
+                )
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    finally:
+        und.unpersist()
+
+
+def dedup_keep_representatives(
+    docs: DataFrame, edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Near-dup dedup by clustering: every doc in a component keeps
+    only the min-id representative; docs in no pair survive untouched.
+    Returns docs ∖ (cluster members that are not their component's
+    representative)."""
+    comps = connected_components(edges, a, b)
+    losers = comps.filter(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti")

@@ -83,3 +83,64 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace-normalized lowercase md5 — the exact-dedup key."""
     norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
     return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def gram_array(words: Column, n: int) -> Column:
+    """Word n-gram array from a token array, empty when the document
+    has fewer than n tokens (``F.sequence(1, 0)`` would count DOWN —
+    Spark infers a negative step — so the short-doc case needs the
+    explicit guard)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1),
+    adapted to token streams: the fraction of token/bigram/trigram
+    slots occupied by the single most frequent token / 2-gram /
+    3-gram, plus the distinct-token ratio. High values mark the
+    boilerplate / keyword-stuffing / degenerate-generation documents a
+    pre-training corpus filter drops first.
+
+    Shape at scale: three explode → (doc_id, gram) partial-count →
+    per-doc aggregations, all map-side-combinable hash aggs keyed by
+    doc_id — no joins across documents, so the operator is embarrassingly
+    parallel over the corpus. Fractions for docs too short to have any
+    2-/3-grams are 0.0 by definition.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select("doc_id", words.alias("w"))
+
+    def _top(n: int) -> DataFrame:
+        return (
+            base.select("doc_id", F.explode(gram_array(F.col("w"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max("c").alias(f"max{n}"),
+                F.count("*").alias(f"nd{n}"),
+                F.sum("c").alias(f"n{n}"),
+            )
+        )
+
+    t1, t2, t3 = _top(1), _top(2), _top(3)
+    return (
+        t1.join(t2, "doc_id", "left")
+        .join(t3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n1").alias("n_tokens"),
+            F.round(F.col("max1") / F.col("n1"), 4).alias("top_token_frac"),
+            F.round(F.col("nd1") / F.col("n1"), 4).alias("distinct_token_ratio"),
+            F.coalesce(F.round(F.col("max2") / F.col("n2"), 4), F.lit(0.0)).alias(
+                "top_2gram_frac"
+            ),
+            F.coalesce(F.round(F.col("max3") / F.col("n3"), 4), F.lit(0.0)).alias(
+                "top_3gram_frac"
+            ),
+        )
+    )

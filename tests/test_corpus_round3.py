@@ -1,0 +1,126 @@
+"""Round-3 corpus operators: repetition stats edge cases, benchmark
+decontamination, connected-components dedup clustering, the combined
+filter policy, and the source-mix report."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from silkworm_spark.operators.corpus_pipeline import filter_corpus, source_mix
+from silkworm_spark.operators.decontam import ngram_contamination
+from silkworm_spark.operators.graph import (
+    connected_components,
+    dedup_keep_representatives,
+)
+from silkworm_spark.operators.textstats import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_values(spark):
+    docs = _docs(spark, [
+        (1, "a a a a"),                  # one token repeated
+        (2, "a b c d"),                  # all distinct
+        (3, "x y x y x y"),              # dominant 2-gram
+    ])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["top_token_frac"] == 1.0
+    assert got[1]["distinct_token_ratio"] == 0.25
+    assert got[1]["top_2gram_frac"] == 1.0           # "a a" fills all 3 slots
+    assert got[2]["top_token_frac"] == 0.25
+    assert got[2]["distinct_token_ratio"] == 1.0
+    assert got[2]["top_2gram_frac"] == pytest.approx(1 / 3, abs=1e-4)
+    # "x y" occupies 3 of 5 bigram slots; "x y x" 2 of 4 trigram slots
+    assert got[3]["top_2gram_frac"] == 0.6
+    assert got[3]["top_3gram_frac"] == 0.5
+
+
+def test_repetition_stats_short_docs(spark):
+    """Docs shorter than the gram width get frac 0.0, not an error or
+    a negative-step sequence artifact."""
+    docs = _docs(spark, [(1, "solo"), (2, "two words")])
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(docs).collect()}
+    assert got[1]["n_tokens"] == 1
+    assert got[1]["top_2gram_frac"] == 0.0
+    assert got[1]["top_3gram_frac"] == 0.0
+    assert got[2]["top_2gram_frac"] == 1.0   # the single bigram fills its slot
+    assert got[2]["top_3gram_frac"] == 0.0
+
+
+def test_ngram_contamination(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "completely unrelated words here nothing shared at all"),
+        (3, "quick brown fox jumps high above"),
+    ])
+    bench = _docs(spark, [(100, "a quick brown fox jumps story")])
+    got = {r["doc_id"]: r.asDict()
+           for r in ngram_contamination(corpus, bench, n=4).collect()}
+    # bench 4-grams include "quick brown fox jumps" — docs 1 and 3 hit it
+    assert set(got) == {1, 3}
+    assert got[1]["n_overlap"] == 1 and got[1]["n_grams"] == 6
+    assert got[1]["overlap_frac"] == pytest.approx(1 / 6, abs=1e-4)
+    assert got[3]["n_overlap"] == 1 and got[3]["n_grams"] == 3
+
+
+def test_connected_components_chain_and_islands(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round),
+    # pair 10-11, and a separate triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "a long, b long",
+    )
+    got = {r["doc_id"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_deterministic(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "a long, b long"
+    ).repartition(5)
+    a = sorted(map(tuple, connected_components(edges).collect()))
+    b = sorted(map(tuple, connected_components(edges).collect()))
+    assert a == b
+    assert all(comp == 1 for _, comp in a)
+
+
+def test_dedup_keep_representatives(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(1, 7)])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_representatives(docs, edges).collect())
+    # components {1,2,3} -> keep 1; {5,6} -> keep 5; 4 untouched
+    assert kept == [1, 4, 5]
+
+
+def test_filter_corpus_policy(spark):
+    letters = "abcdefghij"
+    words = [letters[i // 10] + letters[i % 10] for i in range(40)]
+    docs = _docs(spark, [
+        (1, " ".join(words)),                            # clean: passes
+        (2, "spam " * 40),                               # top-token 1.0: drop
+        (3, " ".join(words[:10])),                       # too short: drop
+        (4, " ".join("12 34" for _ in range(20))),       # alpha 0: drop
+    ])
+    kept = filter_corpus(docs).collect()
+    assert [r["doc_id"] for r in kept] == [1]
+    row = kept[0].asDict()
+    assert row["n_tokens"] == 40 and row["distinct_token_ratio"] == 1.0
+
+
+def test_source_mix(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s1", 5), (2, "d e", "en", "s1", 3),
+         (3, "f", "de", "s2", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {(r["source"], r["lang"]): r.asDict() for r in source_mix(docs).collect()}
+    assert got[("s1", "en")]["n_docs"] == 2
+    assert got[("s1", "en")]["n_tokens"] == 5
+    assert got[("s1", "en")]["avg_chars"] == 4.0
+    assert got[("s2", "de")]["n_tokens"] == 1
