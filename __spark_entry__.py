@@ -339,6 +339,57 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 """)
 
 
+def _tpch_q5(spark, sf):
+    """Multi-way join shape (TPC-H Q5, local supplier volume): the
+    dim chain region→nation→{customer, supplier} stays broadcast
+    (config-scale sides, like robots/host-state in the engine); only
+    the two fact tables lineitem⋈orders shuffle, on their join key."""
+    reg = _t(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    nat = _t(spark, sf, "nation").join(
+        F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf, "customer").join(
+        F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf, "supplier").join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_reg("tpch_q5", _tpch_q5, """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""")
+
+
 def _dim_broadcast_join(spark, sf):
     """Broadcast-dim join (the robots/host-state join shape in
     operators/scheduler.py)."""
@@ -966,6 +1017,108 @@ SELECT source, lang, count(*)::BIGINT AS n_docs,
        sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY 1, 2
+""")
+
+
+def _text_entropy(spark, sf):
+    """Unigram token Shannon entropy — the cheap perplexity proxy
+    (textstats.token_entropy)."""
+    from silkworm_spark.operators.textstats import token_entropy
+
+    return token_entropy(_t(spark, sf, "documents"))
+
+
+_reg("text_entropy", _text_entropy, r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+c AS (SELECT doc_id, g, count(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS g FROM words) GROUP BY 1, 2),
+a AS (SELECT doc_id, sum(c) AS n, sum(c * log2(c)) AS s FROM c GROUP BY 1)
+SELECT doc_id, n::BIGINT AS n_tokens, round(log2(n) - s / n, 4) AS entropy
+FROM a
+""")
+
+
+# ---- PII scan / redaction (operators/pii.py) ----
+# The synthetic documents contain no organic PII, so the query plants
+# it deterministically (same precedent as synthesize_media): every
+# 7th/11th/13th doc gains an email / phone / private IP derived from
+# its doc_id — the oracle recomputes the identical augmentation, so
+# detection AND redaction are value-verified end to end.
+
+_PII_AUG_SQL = r"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+            THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.'
+                 || (doc_id % 100)::VARCHAR
+            ELSE '' END AS t
+  FROM documents)
+"""
+
+
+def _pii_augment(docs):
+    did = F.col("doc_id")
+    email = F.when(
+        did % 7 == 0,
+        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        did % 11 == 0,
+        F.concat(F.lit(" call 555-"),
+                 F.lpad((did % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        did % 13 == 0,
+        F.concat(F.lit(" from 10.0."), (did % 256).cast("string"),
+                 F.lit("."), (did % 100).cast("string")),
+    ).otherwise(F.lit(""))
+    return docs.withColumn("text_aug", F.concat(F.col("text"), email, phone, ip))
+
+
+def _pii_scan(spark, sf):
+    """PII match counts over the deterministically-augmented corpus
+    (operators/pii.py — pure codegen regex, no shuffle)."""
+    from silkworm_spark.operators.pii import pii_scan
+
+    return pii_scan(_pii_augment(_t(spark, sf, "documents")), "text_aug")
+
+
+_reg("pii_scan", _pii_scan, _PII_AUG_SQL + r"""
+SELECT doc_id,
+       len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+       len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b'))::INT AS n_phones,
+       len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ips,
+       (len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+        + len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b'))
+        + len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) > 0 AS has_pii
+FROM aug
+""")
+
+
+def _pii_redact(spark, sf):
+    """Redaction twin: every planted email/phone/IP replaced by its
+    category token; value-oracled against DuckDB's regexp_replace."""
+    from silkworm_spark.operators.pii import redact_pii
+
+    return redact_pii(_pii_augment(_t(spark, sf, "documents")), "text_aug")
+
+
+_reg("pii_redact", _pii_redact, _PII_AUG_SQL + r"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+           '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
+FROM aug
 """)
 
 

@@ -102,7 +102,16 @@ def _tree_cpu_seconds() -> float:
                 rest = f.read().rsplit(")", 1)[1].split()
         except (OSError, IndexError):
             continue
-        procs[int(pid)] = (int(rest[1]), (int(rest[11]) + int(rest[12])) / tick)
+        # utime+stime of the live process PLUS cutime+cstime (the CPU
+        # of its already-reaped children): python workers that
+        # idle-exit between the parse stage and the end-of-run sample
+        # otherwise vanish from the tree walk — one 4-core leg lost
+        # 2/3 of its measured CPU to exactly that, which made the
+        # cores_used normalization nonsense
+        procs[int(pid)] = (
+            int(rest[1]),
+            (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / tick,
+        )
     children: dict[int, list[int]] = {}
     for pid, (ppid, _) in procs.items():
         children.setdefault(ppid, []).append(pid)
@@ -247,7 +256,7 @@ def crawl_throughput(cores: int) -> dict:
 QUERY_NAMES = [
     "seen_anti_join", "first_wins_window", "priority_dequeue_topk",
     "politeness_budget_cap", "sessionize", "hot_key_salts",
-    "tpch_q1", "tpch_q3_topk", "tpch_q6", "dim_broadcast_join",
+    "tpch_q1", "tpch_q3_topk", "tpch_q5", "tpch_q6", "dim_broadcast_join",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
@@ -255,6 +264,7 @@ QUERY_NAMES = [
     "corpus_clean_pipeline", "corpus_hash_sample",
     "text_repetition", "contamination_ngrams", "dedup_clusters",
     "corpus_filter_policy", "source_mix",
+    "text_entropy", "pii_scan", "pii_redact",
 ]
 
 

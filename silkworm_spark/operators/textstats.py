@@ -85,6 +85,35 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.md5(norm).alias("fp"))
 
 
+def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy (bits) of the document's unigram token
+    distribution — the cheap perplexity proxy corpus filters use to
+    catch degenerate text (near-zero entropy = repeated tokens; the
+    ceiling log2(n_tokens) = no repetition at all).
+
+    H = log2(n) - (Σ c·log2(c)) / n over per-token counts c — one
+    explode plus two map-side-combinable hash aggs keyed by doc_id.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    counts = (
+        docs.select("doc_id", F.explode(words).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * F.log2("c")).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("entropy"),
+        )
+    )
+
+
 def gram_array(words: Column, n: int) -> Column:
     """Word n-gram array from a token array, empty when the document
     has fewer than n tokens (``F.sequence(1, 0)`` would count DOWN —

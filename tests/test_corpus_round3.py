@@ -113,6 +113,42 @@ def test_filter_corpus_policy(spark):
     assert row["n_tokens"] == 40 and row["distinct_token_ratio"] == 1.0
 
 
+def test_token_entropy(spark):
+    from silkworm_spark.operators.textstats import token_entropy
+
+    docs = _docs(spark, [
+        (1, "a a a a"),          # zero entropy
+        (2, "a b c d"),          # uniform: log2(4) = 2 bits
+        (3, "a a b b"),          # uniform over 2: 1 bit
+    ])
+    got = {r["doc_id"]: r["entropy"] for r in token_entropy(docs).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 2.0
+    assert got[3] == 1.0
+
+
+def test_pii_scan_and_redact(spark):
+    from silkworm_spark.operators.pii import pii_scan, redact_pii
+
+    docs = _docs(spark, [
+        (1, "write to alice.smith@mail.example.org today"),
+        (2, "call 555-0134 or 555-9999 now"),
+        (3, "server at 192.168.1.77 responded"),
+        (4, "perfectly clean text"),
+    ])
+    scan = {r["doc_id"]: r.asDict() for r in pii_scan(docs).collect()}
+    assert scan[1]["n_emails"] == 1 and scan[1]["has_pii"]
+    assert scan[2]["n_phones"] == 2
+    assert scan[3]["n_ips"] == 1
+    assert scan[4] == dict(doc_id=4, n_emails=0, n_phones=0, n_ips=0,
+                           has_pii=False)
+    red = {r["doc_id"]: r["redacted"] for r in redact_pii(docs).collect()}
+    assert red[1] == "write to [EMAIL] today"
+    assert red[2] == "call [PHONE] or [PHONE] now"
+    assert red[3] == "server at [IP] responded"
+    assert red[4] == "perfectly clean text"
+
+
 def test_source_mix(spark):
     docs = spark.createDataFrame(
         [(1, "a b c", "en", "s1", 5), (2, "d e", "en", "s1", 3),
