@@ -1020,6 +1020,24 @@ FROM documents GROUP BY 1, 2
 """)
 
 
+def _dedup_substring(spark, sf):
+    """Sliding-window exact-substring duplication (Lee et al. 2022
+    style): fraction of a doc's distinct 8-gram windows that occur in
+    ≥2 documents (dedup_corpus.substring_dup_stats)."""
+    from silkworm_spark.operators.dedup_corpus import substring_dup_stats
+
+    return substring_dup_stats(_t(spark, sf, "documents"), n=8)
+
+
+_reg("dedup_substring", _dedup_substring, _shingle_cte(8) + """
+, dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1)
+SELECT doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+       round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_frac
+FROM sh JOIN dfq USING (h) GROUP BY doc_id
+""")
+
+
 def _text_entropy(spark, sf):
     """Unigram token Shannon entropy — the cheap perplexity proxy
     (textstats.token_entropy)."""

@@ -264,7 +264,7 @@ QUERY_NAMES = [
     "corpus_clean_pipeline", "corpus_hash_sample",
     "text_repetition", "contamination_ngrams", "dedup_clusters",
     "corpus_filter_policy", "source_mix",
-    "text_entropy", "pii_scan", "pii_redact",
+    "text_entropy", "pii_scan", "pii_redact", "dedup_substring",
 ]
 
 

@@ -121,6 +121,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def substring_dup_stats(
+    docs: DataFrame, n: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-substring occupancy — the sliding-
+    window approximation of suffix-array exact-substring dedup
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022): a word n-gram window whose hash occurs in ≥2
+    documents marks an exactly-duplicated span; ``dup_frac`` is the
+    fraction of the document's distinct windows that are duplicated
+    somewhere else in the corpus. Corpus policies drop or trim docs
+    above a dup_frac threshold.
+
+    Shape at scale: one global window-frequency aggregation (map-side
+    combinable, keyed by window hash) joined back to the per-doc
+    window stream on the same key — two shuffles total, both on the
+    window hash; the frequency side is one row per distinct window, so
+    the join's build side is bounded and hot windows (boilerplate)
+    stay single-key rows, not fan-out."""
+    sh = shingle_hashes(docs, n, text_col)
+    dfreq = sh.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        sh.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum((F.col("df") >= 2).cast("long")).alias("n_dup_windows"),
+        )
+        .select(
+            "doc_id", "n_windows", "n_dup_windows",
+            F.round(F.col("n_dup_windows") / F.col("n_windows"), 4).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame, k: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:

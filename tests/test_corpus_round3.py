@@ -113,6 +113,24 @@ def test_filter_corpus_policy(spark):
     assert row["n_tokens"] == 40 and row["distinct_token_ratio"] == 1.0
 
 
+def test_substring_dup_stats(spark):
+    from silkworm_spark.operators.dedup_corpus import substring_dup_stats
+
+    shared = "one two three four five six seven eight"      # 8-token run
+    docs = _docs(spark, [
+        (1, shared + " alpha beta gamma delta epsilon zeta"),
+        (2, "pre amble words " + shared),                    # shares the run
+        (3, "totally different content with no overlap at all here"),
+    ])
+    got = {r["doc_id"]: r.asDict()
+           for r in substring_dup_stats(docs, n=8).collect()}
+    # docs 1 and 2 share exactly the one 8-gram window of `shared`
+    assert got[1]["n_dup_windows"] == 1 and got[2]["n_dup_windows"] == 1
+    assert got[3]["n_dup_windows"] == 0 and got[3]["dup_frac"] == 0.0
+    assert got[1]["n_windows"] == 7   # 14 tokens -> 7 windows
+    assert got[1]["dup_frac"] == pytest.approx(1 / 7, abs=1e-4)
+
+
 def test_token_entropy(spark):
     from silkworm_spark.operators.textstats import token_entropy
 
