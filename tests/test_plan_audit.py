@@ -87,6 +87,57 @@ def test_politeness_dequeue_pushes_horizon_below_robots_join(spark, frontier_par
         dq.release()
 
 
+DOCS_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{DOCS_SF}/documents.parquet")
+
+
+def test_contamination_broadcasts_benchmark_side(spark, documents):
+    """The eval-set gram probe must be a broadcast hash join — the
+    corpus gram stream is never shuffled for the membership test."""
+    from silkworm_spark.operators.decontam import ngram_contamination
+
+    df = ngram_contamination(
+        documents.filter(F.col("doc_id") % 50 != 0),
+        documents.filter(F.col("doc_id") % 50 == 0),
+        n=4,
+    )
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_stats_aggregates_map_side(spark, documents):
+    """Repetition signals are per-doc hash aggs: partial (map-side)
+    combine must appear, and nothing may cross-join documents."""
+    from silkworm_spark.operators.textstats import repetition_stats
+
+    plan = _plan(repetition_stats(documents))
+    assert "partial_count" in plan or "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pii_scan_is_shuffle_free(spark, documents):
+    """PII scan/redaction are pure projections — zero exchanges in
+    the plan, so they run at scan speed at any corpus size."""
+    from silkworm_spark.operators.pii import pii_scan, redact_pii
+
+    assert "Exchange" not in _plan(pii_scan(documents))
+    assert "Exchange" not in _plan(redact_pii(documents))
+
+
+def test_substring_dup_keyed_joins_only(spark, documents):
+    from silkworm_spark.operators.dedup_corpus import substring_dup_stats
+
+    plan = _plan(substring_dup_stats(documents, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_metadata_twin_prunes_body_column(spark, tmp_path):
     from silkworm_spark.operators.fetch import offline_fetch_resolved, resolve_web
     from silkworm_spark.sources.webgen import build_web_df
