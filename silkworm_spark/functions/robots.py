@@ -75,6 +75,26 @@ def parse_robots_txt(text: str) -> list[RobotsGroup]:
     return groups
 
 
+def robots_sitemaps(text: str) -> list[str]:
+    """``Sitemap:`` directives (the sitemaps.org extension referenced
+    by RFC 9309 §2.2.4 as an "other record") — group-INDEPENDENT:
+    every line counts regardless of which User-agent group it appears
+    inside. Absolute URLs, file order, deduped."""
+    out: list[str] = []
+    seen: set[str] = set()
+    for raw in (text or "").lstrip("﻿").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            v = value.strip()
+            if v and v not in seen:
+                seen.add(v)
+                out.append(v)
+    return out
+
+
 def select_group(groups: list[RobotsGroup], user_agent: str) -> RobotsGroup | None:
     """RFC 9309 §2.2.1: the group with the longest user-agent token
     contained in the product token wins; ``*`` is the fallback."""
@@ -170,6 +190,48 @@ def robots_rules_from_responses(
                     crawl_delay_ms=int(delay * 1000) if delay else None,
                     fetch_budget=None,
                 ))
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    cols = [F.col(host_col), F.col(status_col), F.col(body_col)]
+    return responses.select(*cols).mapInPandas(gen, schema=out_schema)
+
+
+def robots_sitemap_seeds(
+    responses, body_col: str = "body", host_col: str = "host",
+    status_col: str = "status",
+):
+    """Fetched ``/robots.txt`` responses → sitemap seed requests
+    ``(host, url, callback='parse_sitemap')``: union these into the
+    crawl's seed list and the advertised sitemaps flow through the
+    existing recursive sitemap callback (operators/parse.parse_sitemap
+    — sub-sitemaps recurse, page URLs fall through to the default
+    parser). Only 2xx robots bodies contribute."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("url", T.StringType()),
+            T.StructField("callback", T.StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                status = getattr(r, status_col)
+                body = getattr(r, body_col)
+                if status is None or not 200 <= int(status) < 300 or body is None:
+                    continue
+                text = bytes(body).decode("utf-8", "replace")
+                for u in robots_sitemaps(text):
+                    rows.append(dict(
+                        host=getattr(r, host_col), url=u,
+                        callback="parse_sitemap",
+                    ))
             yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
 
     cols = [F.col(host_col), F.col(status_col), F.col(body_col)]

@@ -170,3 +170,35 @@ def test_fetch_robots_rules_live_bootstrap(spark):
     finally:
         for srv in servers:
             srv.shutdown()
+
+
+def test_robots_sitemaps_scalar():
+    from silkworm_spark.functions.robots import robots_sitemaps
+
+    text = """
+Sitemap: http://a.test/sitemap.xml
+User-agent: *
+Disallow: /private
+Sitemap: http://a.test/extra.xml   # group-independent
+Sitemap: http://a.test/sitemap.xml
+"""
+    assert robots_sitemaps(text) == [
+        "http://a.test/sitemap.xml", "http://a.test/extra.xml",
+    ]
+    assert robots_sitemaps("") == []
+    assert robots_sitemaps("User-agent: *\nDisallow:") == []
+
+
+def test_robots_sitemap_seeds_stage(spark):
+    from silkworm_spark.functions.robots import robots_sitemap_seeds
+
+    body_ok = b"Sitemap: http://h1.test/s.xml\nUser-agent: *\nDisallow: /x"
+    rows = [
+        ("h1.test", 200, bytearray(body_ok)),
+        ("h2.test", 404, bytearray(b"Sitemap: http://h2.test/s.xml")),
+        ("h3.test", 200, None),
+    ]
+    responses = spark.createDataFrame(rows, "host string, status int, body binary")
+    got = [r.asDict() for r in robots_sitemap_seeds(responses).collect()]
+    assert got == [dict(host="h1.test", url="http://h1.test/s.xml",
+                        callback="parse_sitemap")]
