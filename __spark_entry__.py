@@ -1057,6 +1057,33 @@ FROM a
 """)
 
 
+def _tfidf_top_terms(spark, sf):
+    """Top-3 tf·idf terms per doc (textstats.tfidf_top_terms): term
+    aggs + per-doc row_number window, rank key rounded for
+    cross-engine order determinism."""
+    from silkworm_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf, "documents"), k=3)
+
+
+_reg("tfidf_top_terms", _tfidf_top_terms, r"""
+WITH words AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM documents),
+tf AS (SELECT doc_id, g AS term, count(*) AS tf
+       FROM (SELECT doc_id, unnest(w) AS g FROM words) GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS nd FROM documents),
+s AS (SELECT doc_id, term, tf, df, nd,
+             round(tf * ln(nd * 1.0 / df), 6) AS s6
+      FROM tf JOIN dfq USING (term) CROSS JOIN n),
+r AS (SELECT doc_id, term,
+             round(tf * ln(nd * 1.0 / df), 4) AS tfidf,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s6 DESC, term) AS rank
+      FROM s)
+SELECT doc_id, term, tfidf, rank::INT AS rank FROM r WHERE rank <= 3
+""")
+
+
 # ---- PII scan / redaction (operators/pii.py) ----
 # The synthetic documents contain no organic PII, so the query plants
 # it deterministically (same precedent as synthesize_media): every

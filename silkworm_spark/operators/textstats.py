@@ -114,6 +114,42 @@ def token_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(N/df)) — the classic keyword/topic signal a corpus
+    explorer runs after cleaning.
+
+    Shape at scale: (doc_id, term) count agg → term-keyed df agg
+    (one row per vocab term, bounded build side) → join back → per-doc
+    row_number window. The window partitions by doc_id, so no single
+    task ever sees more than one document's terms. The rank key is the
+    score ROUNDED to 6 decimals (ties then break on the term string):
+    cross-engine ln() agrees to ~1 ULP, so ranking on the raw double
+    would let a 1e-16 difference flip the order of genuinely-tied
+    terms between engines; rounding first makes the order — and the
+    oracle comparison — deterministic."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tf = (
+        docs.select("doc_id", F.explode(words).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(score, 6).desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.round(score, 4).alias("tfidf"), "rank")
+    )
+
+
 def gram_array(words: Column, n: int) -> Column:
     """Word n-gram array from a token array, empty when the document
     has fewer than n tokens (``F.sequence(1, 0)`` would count DOWN —

@@ -113,6 +113,34 @@ def test_filter_corpus_policy(spark):
     assert row["n_tokens"] == 40 and row["distinct_token_ratio"] == 1.0
 
 
+def test_tfidf_top_terms(spark):
+    import math
+
+    from silkworm_spark.operators.textstats import tfidf_top_terms
+
+    docs = _docs(spark, [
+        (1, "apple apple banana shared"),
+        (2, "cherry shared shared date"),
+        (3, "apple cherry shared"),
+    ])
+    got = {}
+    for r in tfidf_top_terms(docs, k=2).collect():
+        got.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    for v in got.values():
+        v.sort()
+    # doc 1: apple tf=2 df=2 -> 2*ln(3/2)=0.8109 beats banana ln(3)=1.0986?
+    # banana tf=1 df=1 -> ln(3)=1.0986 wins rank 1; apple 0.8109 rank 2
+    assert got[1][0][1] == "banana"
+    assert got[1][0][2] == pytest.approx(round(math.log(3), 4), abs=1e-4)
+    assert got[1][1][1] == "apple"
+    assert got[1][1][2] == pytest.approx(round(2 * math.log(1.5), 4), abs=1e-4)
+    # doc 2: shared tf=2 df=3 -> 0.0; date/cherry tf=1: date df=1 (1.0986)
+    # beats cherry df=2 (0.4055)
+    assert [t[1] for t in got[2]] == ["date", "cherry"]
+    # every doc yields exactly k=2 rows here
+    assert all(len(v) == 2 for v in got.values())
+
+
 def test_substring_dup_stats(spark):
     from silkworm_spark.operators.dedup_corpus import substring_dup_stats
 
