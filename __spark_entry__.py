@@ -975,6 +975,62 @@ SELECT src AS doc_id, min(dst) AS component FROM reach GROUP BY src
 )
 
 
+def _link_pagerank(spark, sf):
+    """Fixed-point PageRank (operators/graph.py) over a deterministic
+    synthetic link graph: each doc links to 3 affine-hash targets
+    ``(doc_id*m + a) % n_docs`` — the documents table has no URL
+    column, so the graph is derived identically on both sides. Ranks
+    are BIGINT fixed-point (scale 10^12, integer division throughout)
+    so the DuckDB oracle matches bit-for-bit; float PageRank can't be
+    value-hash-oracled because partial-sum order differs per engine."""
+    from silkworm_spark.operators.graph import pagerank_fixed_point
+
+    docs = _t(spark, sf, "documents").select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    # one quadratic map (2-to-1-ish: skewed in-degree), one
+    # permutation (keeps the graph connected), one hub map (doc_id %
+    # 16: 16 high-authority hubs) — a uniform-in-degree graph would
+    # make PageRank trivially uniform and the oracle vacuous
+    edges = None
+    for dst in ((d * d + 7) % n, (d * 13 + 11) % n, d % 16):
+        e = docs.select(d.alias("src"), dst.alias("dst"))
+        edges = e if edges is None else edges.unionByName(e)
+    edges = edges.filter(F.col("src") != F.col("dst"))
+    return pagerank_fixed_point(edges, iterations=3, damping_pct=85)
+
+
+_PAGERANK_ITER = """
+c{i} AS (SELECT e.dst AS node, sum(r.rank // o.outdeg) AS s
+       FROM edges e JOIN r{p} r ON r.node = e.src
+       JOIN outdeg o ON o.src = e.src GROUP BY e.dst),
+r{i} AS (SELECT n.node,
+                (SELECT tele FROM consts) + (85 * COALESCE(c.s, 0)) // 100 AS rank
+         FROM nodes n LEFT JOIN c{i} c ON c.node = n.node)"""
+
+_reg(
+    "link_pagerank",
+    _link_pagerank,
+    """
+WITH nn AS (SELECT count(*) AS n FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id * doc_id + 7) % nn.n AS dst FROM documents, nn
+  UNION ALL SELECT doc_id, (doc_id * 13 + 11) % nn.n FROM documents, nn
+  UNION ALL SELECT doc_id, doc_id % 16 FROM documents),
+edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+np AS (SELECT count(*) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+consts AS (SELECT 1000000000000 // n AS base,
+                  (1000000000000 * 15) // (100 * n) AS tele FROM np),
+r0 AS (SELECT node, (SELECT base FROM consts) AS rank FROM nodes),"""
+    + ",".join(_PAGERANK_ITER.format(i=i, p=i - 1) for i in (1, 2, 3))
+    + """
+SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+""",
+)
+
+
 def _corpus_filter_policy(spark, sf):
     """The combined keep/drop policy (corpus_pipeline.filter_corpus):
     token floor + repetition caps + alpha floor, emitting survivors

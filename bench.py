@@ -265,7 +265,7 @@ QUERY_NAMES = [
     "text_repetition", "contamination_ngrams", "dedup_clusters",
     "corpus_filter_policy", "source_mix",
     "text_entropy", "pii_scan", "pii_redact", "dedup_substring",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "link_pagerank",
 ]
 
 

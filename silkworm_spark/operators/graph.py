@@ -78,6 +78,81 @@ def connected_components(
         und.unpersist()
 
 
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**12,
+    checkpoint_rounds: bool = True,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the crawl
+    engine's authority signal (frontier prioritization by link
+    authority is the classic crawl-ordering policy; the reference has
+    no link analytics at all, this is a beyond-the-reference scale
+    operator).
+
+    All arithmetic is FIXED-POINT over BIGINTs (ranks scaled by
+    ``scale``, integer division everywhere): floating-point PageRank
+    sums partial contributions in engine- and partition-dependent
+    order, so two correct engines disagree in the low bits and a
+    value-hash oracle can never match. Integer arithmetic is exact and
+    associative — the DuckDB oracle reproduces every rank bit-for-bit
+    with the same unrolled recurrence:
+
+        r0(v)   = scale // n_nodes
+        c_i(v)  = sum over in-edges (u,v) of  r_i(u) // outdeg(u)
+        r_i+1(v)= (scale * (100-damping_pct)) // (100 * n_nodes)
+                  + (damping_pct * c_i(v)) // 100
+
+    Dangling mass is dropped, not redistributed (identically on both
+    sides). Each iteration is one edge-join + one keyed sum — both
+    map-side combinable; lineage is truncated per round so the plan
+    stays constant-size at any iteration count
+    (``checkpoint_rounds=False`` keeps full lineage so tests can
+    audit the physical plan of a round). Returns (node, rank) for
+    every node appearing in ``edges``."""
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n = nodes.count()
+    base = scale // n
+    teleport = (scale * (100 - damping_pct)) // (100 * n)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib_edges = edges.join(outdeg, "src").cache()
+    try:
+        ranks = nodes.withColumn("rank", F.lit(base).cast("long"))
+        for _ in range(iterations):
+            contribs = (
+                contrib_edges.join(
+                    ranks.withColumnRenamed("node", "src"), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nodes.join(contribs, "node", "left").select(
+                "node",
+                F.expr(
+                    f"CAST({teleport} AS BIGINT)"
+                    f" + ({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
+                ).alias("rank"),
+            )
+            if checkpoint_rounds:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        edges.unpersist()
+        nodes.unpersist()
+        contrib_edges.unpersist()
+
+
 def dedup_keep_representatives(
     docs: DataFrame, edges: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:

@@ -1,4 +1,4 @@
-"""Item sinks — 21 of the reference's 24 pipelines.
+"""Item sinks — all 25 of the reference's pipelines.
 
 The reference threads each item through an ordered pipeline chain
 (pipelines.py:197-200, engine.py:270-278); here a "pipeline" is a
@@ -6,14 +6,17 @@ DataFrame transform and a "sink" is a writer. Implemented: JSONL,
 CSV (struct flattening), Parquet (the checkpointed ``documents``
 table is the canonical columnar output, standing in for Polars/
 Vortex, pipelines.py:920-993,1478-1555), SQLite, DuckDB, XML, YAML,
-RSS, MsgPack, Excel, Avro, webhook, Elasticsearch, S3, FTP, CouchDB,
-DynamoDB, MongoDB, PostgreSQL, MySQL, Cassandra — format sinks via stdlib encoders
-where the helper lib is absent (msgpack/OOXML/BSON/Avro-OCF), service
-sinks speaking the real wire protocol against loopback test servers.
-Not implemented: Taskiq (queue broker), GoogleSheets/Snowflake
-(OAuth/proprietary auth stacks), SFTP (SSH)
-— on a real cluster these are ``df.write`` connector swaps (JDBC
-jars, spark-es), not engine semantics.
+RSS, MsgPack, Excel, Avro, webhook, Elasticsearch, S3, FTP, SFTP
+(from-scratch SSH-2 transport, operators/ssh.py), CouchDB, DynamoDB,
+MongoDB, PostgreSQL, MySQL, Cassandra, Taskiq (RESP broker enqueue),
+GoogleSheets (RS256 JWT → OAuth2 → REST), Snowflake (public SQL REST
+API v2, key-pair JWT) — format sinks via stdlib encoders where the
+helper lib is absent (msgpack/OOXML/BSON/Avro-OCF), service sinks
+speaking the real wire protocol or published REST spec against
+loopback test servers that verify bytes and signatures. On a real
+cluster several of these become ``df.write`` connector swaps (JDBC
+jars, spark-es); the drivers here mirror the reference's driver-side
+pipeline semantics.
 """
 
 from __future__ import annotations
@@ -739,6 +742,156 @@ def write_google_sheets(
     for pos in range(0, len(data_rows), batch_size):
         append(f"{sheet_name}!A2", data_rows[pos:pos + batch_size])
     return len(data_rows)
+
+
+def snowflake_keypair_jwt(
+    account: str, user: str, private_key_pem: str,
+    now: int | None = None, lifetime_s: int = 3540,
+) -> str:
+    """Key-pair JWT for Snowflake's public SQL REST API
+    (docs.snowflake.com/en/developer-guide/sql-api/authenticating —
+    "Using key-pair authentication"): RS256 over
+    ``iss = <ACCOUNT>.<USER>.SHA256:<b64(sha256(pubkey DER))>``,
+    ``sub = <ACCOUNT>.<USER>``, account/user uppercased per the spec.
+    Built with pyca cryptography (no snowflake-connector here); the
+    loopback test verifies both the signature and the fingerprint
+    against the account's real public key."""
+    import base64
+    import json as _json
+    import time
+
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import padding
+
+    def b64url(b: bytes) -> bytes:
+        return base64.urlsafe_b64encode(b).rstrip(b"=")
+
+    key = serialization.load_pem_private_key(
+        private_key_pem.encode(), password=None
+    )
+    pub_der = key.public_key().public_bytes(
+        serialization.Encoding.DER,
+        serialization.PublicFormat.SubjectPublicKeyInfo,
+    )
+    digest = hashes.Hash(hashes.SHA256())
+    digest.update(pub_der)
+    fp = base64.b64encode(digest.finalize()).decode()
+    qualified = f"{account.upper()}.{user.upper()}"
+    iat = int(now if now is not None else time.time())
+    header = {"alg": "RS256", "typ": "JWT"}
+    claims = {
+        "iss": f"{qualified}.SHA256:{fp}",
+        "sub": qualified,
+        "iat": iat,
+        "exp": iat + lifetime_s,
+    }
+    signing_input = (
+        b64url(_json.dumps(header, separators=(",", ":")).encode())
+        + b"."
+        + b64url(_json.dumps(claims, separators=(",", ":")).encode())
+    )
+    sig = key.sign(signing_input, padding.PKCS1v15(), hashes.SHA256())
+    return (signing_input + b"." + b64url(sig)).decode()
+
+
+def write_snowflake(
+    df: DataFrame, account: str, user: str, private_key_file: str,
+    database: str, schema: str, warehouse: str,
+    table: str = "items", role: str | None = None, spider: str = "spark",
+    batch_size: int = 100, api_base: str | None = None,
+    timeout_s: float = 30.0,
+) -> int:
+    """SnowflakePipeline (pipelines.py:2122-2249): auto-creates
+    ``{table} (id NUMBER AUTOINCREMENT PRIMARY KEY, spider
+    VARCHAR(255) NOT NULL, data VARIANT NOT NULL, created_at
+    TIMESTAMP_NTZ DEFAULT CURRENT_TIMESTAMP())`` and inserts
+    ``(spider, data=json(item))`` rows — same DDL, same row shape.
+
+    The reference drives snowflake-connector-python (JDBC-style
+    session + per-item ``INSERT ... VALUES (%s, %s)``); that client
+    stack doesn't exist in this sandbox, so this speaks Snowflake's
+    PUBLIC SQL REST API v2 instead (``POST /api/v2/statements``,
+    key-pair JWT auth with the documented
+    ``X-Snowflake-Authorization-Token-Type: KEYPAIR_JWT`` header and
+    positional ``bindings``). Per-item inserts become batched
+    ``INSERT ... SELECT column1, PARSE_JSON(column2) FROM VALUES``
+    (VARIANT can't be a VALUES literal, hence the documented
+    SELECT-from-VALUES form). ``api_base`` is overridable so the
+    loopback fake can stand in for ``<account>.snowflakecomputing.com``;
+    the fake verifies the JWT signature AND the public-key fingerprint
+    embedded in ``iss``, so the whole auth chain runs on real bytes."""
+    import json as _json
+    import urllib.request
+
+    if not table.replace("_", "").isalnum():
+        raise ValueError(f"invalid table name: {table}")
+    base = (api_base or f"https://{account}.snowflakecomputing.com").rstrip("/")
+    with open(private_key_file) as f:
+        jwt = snowflake_keypair_jwt(account, user, f.read())
+    headers = {
+        "authorization": f"Bearer {jwt}",
+        "content-type": "application/json",
+        "accept": "application/json",
+        "x-snowflake-authorization-token-type": "KEYPAIR_JWT",
+    }
+
+    def submit(statement: str, bindings: dict | None = None) -> None:
+        payload = {
+            "statement": statement,
+            "timeout": int(timeout_s),
+            "database": database,
+            "schema": schema,
+            "warehouse": warehouse,
+        }
+        if role:
+            payload["role"] = role
+        if bindings:
+            payload["bindings"] = bindings
+        req = urllib.request.Request(
+            f"{base}/api/v2/statements",
+            data=_json.dumps(payload).encode(), headers=headers,
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=timeout_s):
+            pass
+
+    submit(
+        f"CREATE TABLE IF NOT EXISTS {table} ("
+        " id NUMBER AUTOINCREMENT PRIMARY KEY,"
+        " spider VARCHAR(255) NOT NULL,"
+        " data VARIANT NOT NULL,"
+        " created_at TIMESTAMP_NTZ DEFAULT CURRENT_TIMESTAMP())"
+    )
+
+    n = 0
+    buf: list[dict] = []
+
+    def flush() -> None:
+        nonlocal n, buf
+        if not buf:
+            return
+        values = ", ".join("(?, ?)" for _ in buf)
+        bindings = {}
+        for i, item in enumerate(buf):
+            bindings[str(2 * i + 1)] = {"type": "TEXT", "value": spider}
+            bindings[str(2 * i + 2)] = {
+                "type": "TEXT",
+                "value": _json.dumps(item, ensure_ascii=False),
+            }
+        submit(
+            f"INSERT INTO {table} (spider, data)"
+            f" SELECT column1, PARSE_JSON(column2) FROM VALUES {values}",
+            bindings,
+        )
+        n += len(buf)
+        buf = []
+
+    for item in _json_rows(df):
+        buf.append(item)
+        if len(buf) >= batch_size:
+            flush()
+    flush()
+    return n
 
 
 def write_taskiq_redis(

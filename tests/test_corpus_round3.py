@@ -206,3 +206,38 @@ def test_source_mix(spark):
     assert got[("s1", "en")]["n_tokens"] == 5
     assert got[("s1", "en")]["avg_chars"] == 4.0
     assert got[("s2", "de")]["n_tokens"] == 1
+
+
+def test_pagerank_fixed_point_matches_python_recurrence(spark):
+    """Spark PageRank vs an independent pure-Python implementation of
+    the same fixed-point recurrence on a small skewed graph — every
+    BIGINT rank must match exactly (the whole point of integer-scaled
+    arithmetic is cross-engine bit-equality)."""
+    from silkworm_spark.operators.graph import pagerank_fixed_point
+
+    n = 60
+    edge_list = sorted({
+        (s, d) for s in range(n)
+        for d in ((s * s + 7) % n, (s * 13 + 11) % n, s % 4) if d != s
+    })
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"]
+           for r in pagerank_fixed_point(edges, iterations=3).collect()}
+
+    scale, damping = 10**12, 85
+    nodes = sorted({v for e in edge_list for v in e})
+    outdeg = {}
+    for s, _ in edge_list:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: scale // len(nodes) for v in nodes}
+    tele = (scale * (100 - damping)) // (100 * len(nodes))
+    for _ in range(3):
+        contrib = {v: 0 for v in nodes}
+        for s, d in edge_list:
+            contrib[d] += rank[s] // outdeg[s]
+        rank = {v: tele + (damping * contrib[v]) // 100 for v in nodes}
+
+    assert got == rank
+    # hubs (dst of the % 4 map) must outrank the median node
+    ranks = sorted(rank.values())
+    assert min(rank[h] for h in range(4)) > ranks[len(ranks) // 2]

@@ -172,3 +172,20 @@ def test_metadata_twin_prunes_body_column(spark, tmp_path):
         if "ReadSchema" in line and "resolved" not in line:
             assert "body:binary" not in line, line
     assert "body_len" in plan
+
+
+def test_pagerank_keyed_shuffles_only(spark):
+    """PageRank iterations are edge-join + keyed sum: map-side partial
+    combine present, never a cross join; the per-round localCheckpoint
+    keeps the plan constant-size, so the audited plan is one round's."""
+    from silkworm_spark.operators.graph import pagerank_fixed_point
+
+    edges = spark.range(200).select(
+        F.col("id").alias("src"),
+        ((F.col("id") * F.col("id") + 3) % 200).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    plan = _plan(pagerank_fixed_point(edges, iterations=1,
+                                      checkpoint_rounds=False))
+    assert "partial_sum" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
