@@ -1152,7 +1152,7 @@ WITH aug AS (
   SELECT doc_id,
     text
     || CASE WHEN doc_id % 7 = 0
-            THEN ' contact user' || doc_id::VARCHAR || '@example.com'
+            THEN ' contact User' || doc_id::VARCHAR || '@Example.COM'
             ELSE '' END
     || CASE WHEN doc_id % 11 = 0
             THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
@@ -1167,9 +1167,10 @@ WITH aug AS (
 
 def _pii_augment(docs):
     did = F.col("doc_id")
+    # Mixed-case on purpose: proves the (?i) email pattern end to end.
     email = F.when(
         did % 7 == 0,
-        F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        F.concat(F.lit(" contact User"), did.cast("string"), F.lit("@Example.COM")),
     ).otherwise(F.lit(""))
     phone = F.when(
         did % 11 == 0,
@@ -1194,10 +1195,10 @@ def _pii_scan(spark, sf):
 
 _reg("pii_scan", _pii_scan, _PII_AUG_SQL + r"""
 SELECT doc_id,
-       len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
+       len(regexp_extract_all(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::INT AS n_emails,
        len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b'))::INT AS n_phones,
        len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))::INT AS n_ips,
-       (len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
+       (len(regexp_extract_all(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))
         + len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{4}\b'))
         + len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))) > 0 AS has_pii
 FROM aug
@@ -1216,7 +1217,7 @@ _reg("pii_redact", _pii_redact, _PII_AUG_SQL + r"""
 SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+           regexp_replace(t, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
            '\b[0-9]{3}-[0-9]{4}\b', '[PHONE]', 'g'),
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g') AS redacted
 FROM aug

@@ -175,7 +175,11 @@ def robots_rules_from_responses(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                # Arrow→pandas renders null ints as NaN, so `is None`
+                # misses them and int(status) raises — pd.isna covers both.
                 status = getattr(r, status_col)
+                if pd.isna(status):
+                    status = None
                 body = getattr(r, body_col)
                 host = getattr(r, host_col)
                 if status is not None and 400 <= int(status) < 500:
@@ -222,9 +226,10 @@ def robots_sitemap_seeds(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                # Null status arrives as NaN via Arrow→pandas, not None.
                 status = getattr(r, status_col)
                 body = getattr(r, body_col)
-                if status is None or not 200 <= int(status) < 300 or body is None:
+                if pd.isna(status) or not 200 <= int(status) < 300 or body is None:
                     continue
                 text = bytes(body).decode("utf-8", "replace")
                 for u in robots_sitemaps(text):

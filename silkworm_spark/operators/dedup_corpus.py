@@ -47,10 +47,20 @@ def _words(text_col: str) -> Column:
 
 def shingle_hashes(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, shingle_hash) — distinct word-n-gram md5-derived 32-bit
-    hashes per document."""
+    hashes per document.
+
+    Documents shorter than n tokens contribute no shingles: without the
+    guard ``F.sequence(1, size-(n-1))`` infers a negative step for short
+    docs and ``F.slice(words, 0, n)`` throws INVALID_PARAMETER_VALUE.START,
+    aborting the job (same bug textstats.gram_array documents). The DuckDB
+    oracles likewise emit nothing for short docs, so engine and oracle
+    agree."""
     words = _words(text_col)
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    grams = F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
     return (
         docs.select("doc_id", F.explode(grams).alias("shingle"))
         .select(

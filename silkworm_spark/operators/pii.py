@@ -18,9 +18,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# kept RE2-compatible (no lookaround, no backrefs) for oracle parity
+# kept RE2-compatible (no lookaround, no backrefs) for oracle parity;
+# email matches case-insensitively ((?i) — identical in Java regex and
+# RE2) so Alice@Example.COM is detected and redacted, not silently kept
 PII_PATTERNS: dict[str, str] = {
-    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "email": r"(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
     "phone": r"\b[0-9]{3}-[0-9]{4}\b",
     "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
 }

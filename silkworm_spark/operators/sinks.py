@@ -836,6 +836,13 @@ def write_snowflake(
     }
 
     def submit(statement: str, bindings: dict | None = None) -> None:
+        # The SQL API returns 200 only when the statement FINISHED; 202
+        # means "still executing" with a statementHandle to poll
+        # (docs.snowflake.com/en/developer-guide/sql-api/handling-responses).
+        # Without the poll, CREATE TABLE → INSERT can race and an
+        # asynchronously failed statement would still count as written.
+        import time as _time
+
         payload = {
             "statement": statement,
             "timeout": int(timeout_s),
@@ -852,8 +859,32 @@ def write_snowflake(
             data=_json.dumps(payload).encode(), headers=headers,
             method="POST",
         )
-        with urllib.request.urlopen(req, timeout=timeout_s):
-            pass
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            status = resp.status
+            body = _json.loads(resp.read() or b"{}")
+        deadline = _time.monotonic() + timeout_s
+        while status == 202:
+            handle = body.get("statementHandle")
+            if not handle:
+                raise RuntimeError("snowflake: 202 without statementHandle")
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"snowflake: statement {handle} still executing after "
+                    f"{timeout_s}s"
+                )
+            _time.sleep(min(0.2, timeout_s / 10))
+            poll = urllib.request.Request(
+                f"{base}/api/v2/statements/{handle}", headers=headers,
+                method="GET",
+            )
+            with urllib.request.urlopen(poll, timeout=timeout_s) as resp:
+                status = resp.status
+                body = _json.loads(resp.read() or b"{}")
+        if status != 200:
+            raise RuntimeError(
+                f"snowflake: unexpected status {status}: "
+                f"{body.get('message', '')!r}"
+            )
 
     submit(
         f"CREATE TABLE IF NOT EXISTS {table} ("

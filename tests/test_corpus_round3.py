@@ -159,6 +159,36 @@ def test_substring_dup_stats(spark):
     assert got[1]["dup_frac"] == pytest.approx(1 / 7, abs=1e-4)
 
 
+def test_shingle_hashes_short_docs(spark):
+    """Documents shorter than n tokens must yield ZERO shingles, not
+    crash the job: F.sequence(1, size-(n-1)) counts DOWN for short docs
+    and F.slice(start=0) throws INVALID_PARAMETER_VALUE.START. One
+    short doc would otherwise kill every shingle-based run (n-gram
+    Jaccard, substring dup, contamination)."""
+    from silkworm_spark.operators.dedup_corpus import (
+        ngram_jaccard_pairs,
+        shingle_hashes,
+        substring_dup_stats,
+    )
+
+    docs = _docs(spark, [
+        (1, "just two"),                      # < n for any n >= 3
+        (2, ""),                              # empty
+        (3, "alpha beta gamma delta"),        # normal
+        (4, "alpha beta gamma delta"),        # exact dup of 3
+    ])
+    sh = shingle_hashes(docs, n=3).collect()
+    assert {r["doc_id"] for r in sh} == {3, 4}
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(r["a"], r["b"], r["jaccard"]) for r in pairs] == [(3, 4, 1.0)]
+    # substring stats: short docs have no windows, so (like the DuckDB
+    # oracle) they emit no row — and nothing crashes
+    stats = {r["doc_id"]: r.asDict()
+             for r in substring_dup_stats(docs, n=3).collect()}
+    assert set(stats) == {3, 4}
+    assert stats[3]["n_dup_windows"] == 2  # both windows shared with doc 4
+
+
 def test_token_entropy(spark):
     from silkworm_spark.operators.textstats import token_entropy
 
@@ -193,6 +223,24 @@ def test_pii_scan_and_redact(spark):
     assert red[2] == "call [PHONE] or [PHONE] now"
     assert red[3] == "server at [IP] responded"
     assert red[4] == "perfectly clean text"
+
+
+def test_pii_email_case_insensitive(spark):
+    """Mixed-case emails must be detected AND redacted — a lowercase-
+    only pattern silently under-redacts (Alice@Example.COM survives a
+    'redacted' corpus release)."""
+    from silkworm_spark.operators.pii import pii_scan, redact_pii
+
+    docs = _docs(spark, [
+        (1, "mail Alice@Example.COM or BOB.JONES+x@CORP.IO please"),
+        (2, "MixedCase@domain.Org"),
+    ])
+    scan = {r["doc_id"]: r.asDict() for r in pii_scan(docs).collect()}
+    assert scan[1]["n_emails"] == 2 and scan[1]["has_pii"]
+    assert scan[2]["n_emails"] == 1
+    red = {r["doc_id"]: r["redacted"] for r in redact_pii(docs).collect()}
+    assert red[1] == "mail [EMAIL] or [EMAIL] please"
+    assert red[2] == "[EMAIL]"
 
 
 def test_source_mix(spark):

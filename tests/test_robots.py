@@ -202,3 +202,24 @@ def test_robots_sitemap_seeds_stage(spark):
     got = [r.asDict() for r in robots_sitemap_seeds(responses).collect()]
     assert got == [dict(host="h1.test", url="http://h1.test/s.xml",
                         callback="parse_sitemap")]
+
+
+def test_robots_stages_tolerate_null_status(spark):
+    """Error rows carry NULL status, which Arrow→pandas renders as NaN
+    (not None) — both mapInPandas stages must skip them, not crash with
+    'cannot convert float NaN to integer'."""
+    from silkworm_spark.functions.robots import robots_sitemap_seeds
+
+    rows = [
+        ("h1.test", 200, bytearray(b"Sitemap: http://h1.test/s.xml")),
+        ("err.test", None, None),  # connection error: null status
+    ]
+    responses = spark.createDataFrame(rows, "host string, status int, body binary")
+    got = [r.asDict() for r in robots_sitemap_seeds(responses).collect()]
+    assert got == [dict(host="h1.test", url="http://h1.test/s.xml",
+                        callback="parse_sitemap")]
+    # null status ⇒ disallow-all until a fetch succeeds (5xx semantics)
+    out = {r["host"]: r for r in
+           robots_rules_from_responses(responses, "silkworm-spark").collect()}
+    assert out["err.test"]["disallow_prefixes"] == ["/"]
+    assert out["h1.test"]["disallow_prefixes"] == []

@@ -45,6 +45,13 @@ class FakeSnowflake(ThreadingHTTPServer):
         self.rows: list[tuple[str, dict]] = []  # (spider, item) applied inserts
         self.created: list[str] = []  # DDL statements seen
         self.lock = threading.Lock()
+        # async_mode: every POST answers 202 + a handle; the statement
+        # only APPLIES when the client polls GET /statements/{handle}
+        # (first poll returns 202 again to force a real wait loop).
+        self.async_mode = False
+        self.pending: dict[str, dict] = {}
+        self.poll_counts: dict[str, int] = {}
+        self._next_handle = 0
 
     @property
     def base(self) -> str:
@@ -103,24 +110,60 @@ class _Handler(BaseHTTPRequestHandler):
 
         n = int(self.headers.get("content-length", 0))
         payload = json.loads(self.rfile.read(n))
-        stmt = payload["statement"]
         with srv.lock:
             srv.statements.append(payload)
-            if stmt.lstrip().upper().startswith("CREATE TABLE"):
-                srv.created.append(stmt)
-            else:
-                m = re.search(r"FROM VALUES (.+)$", stmt)
-                if not m:
-                    return self._json(400, {"message": "unsupported statement"})
-                n_rows = m.group(1).count("(")
-                b = payload.get("bindings", {})
-                for i in range(n_rows):
-                    spider = b[str(2 * i + 1)]["value"]
-                    item = json.loads(b[str(2 * i + 2)]["value"])
-                    srv.rows.append((spider, item))
+            if srv.async_mode:
+                srv._next_handle += 1
+                handle = f"01b0-async-{srv._next_handle}"
+                srv.pending[handle] = payload
+                srv.poll_counts[handle] = 0
+                return self._json(202, {"statementHandle": handle,
+                                        "message": "Statement executing."})
+            err = self._apply(srv, payload)
+            if err:
+                return err
         return self._json(200, {"statementHandle": "01b0-fake",
                                 "sqlState": "00000",
                                 "message": "Statement executed successfully."})
+
+    def do_GET(self):  # noqa: N802
+        srv: FakeSnowflake = self.server  # type: ignore[assignment]
+        m = re.match(r"^/api/v2/statements/([\w-]+)$", self.path)
+        if not m:
+            return self._json(404, {"message": "not_found"})
+        handle = m.group(1)
+        with srv.lock:
+            if handle not in srv.pending:
+                return self._json(422, {"message": "unknown handle"})
+            srv.poll_counts[handle] += 1
+            if srv.poll_counts[handle] < 2:
+                return self._json(202, {"statementHandle": handle,
+                                        "message": "Statement executing."})
+            payload = srv.pending.pop(handle)
+            err = self._apply(srv, payload)
+            if err:
+                return err
+        return self._json(200, {"statementHandle": handle,
+                                "sqlState": "00000",
+                                "message": "Statement executed successfully."})
+
+    def _apply(self, srv, payload):
+        """Execute a DDL/INSERT payload against the in-memory table;
+        returns an error response or None. Caller holds srv.lock."""
+        stmt = payload["statement"]
+        if stmt.lstrip().upper().startswith("CREATE TABLE"):
+            srv.created.append(stmt)
+            return None
+        m = re.search(r"FROM VALUES (.+)$", stmt)
+        if not m:
+            return self._json(400, {"message": "unsupported statement"})
+        n_rows = m.group(1).count("(")
+        b = payload.get("bindings", {})
+        for i in range(n_rows):
+            spider = b[str(2 * i + 1)]["value"]
+            item = json.loads(b[str(2 * i + 2)]["value"])
+            srv.rows.append((spider, item))
+        return None
 
 
 @pytest.fixture(scope="module")
@@ -165,6 +208,34 @@ def test_snowflake_sink_ddl_batches_and_rows(sfserver, spark, tmp_path):
     byname = {item["name"]: item for _, item in sfserver.rows}
     assert byname["alpha"]["tags"] == ["t1", "t2"]
     assert byname["gamma"]["tags"] == [] and byname["beta"]["id"] == 2
+
+
+def test_snowflake_sink_polls_202_until_complete(sfserver, spark, tmp_path):
+    """The SQL API answers 202 + statementHandle while a statement is
+    still executing; the sink must poll GET /statements/{handle} and
+    only count rows once the poll returns 200 — otherwise CREATE TABLE
+    → INSERT races and async failures count as written."""
+    from silkworm_spark.operators.sinks import write_snowflake
+
+    rows_before = len(sfserver.rows)
+    sfserver.async_mode = True
+    try:
+        df = spark.createDataFrame([(10, "delta"), (11, "eps")],
+                                   "id long, name string")
+        n = write_snowflake(
+            df, account="myacct", user="crawler",
+            private_key_file=sfserver.private_key_file(tmp_path),
+            database="DB", schema="PUBLIC", warehouse="WH",
+            spider="asyncbot", batch_size=10, api_base=sfserver.base,
+        )
+    finally:
+        sfserver.async_mode = False
+    assert n == 2
+    applied = sfserver.rows[rows_before:]
+    assert sorted(item["name"] for _, item in applied) == ["delta", "eps"]
+    # every handle was polled to completion (≥2 polls: first re-202s)
+    assert sfserver.pending == {}
+    assert all(c >= 2 for c in sfserver.poll_counts.values())
 
 
 def test_snowflake_sink_rejects_rogue_key(sfserver, spark, tmp_path):
