@@ -102,15 +102,28 @@ def _reg(name: str, fn: Callable[[SparkSession, str], DataFrame], sql: str | Non
 
 def _seen_anti_join(spark, sf):
     """Dedup anti-join (engine.py:99-106): drop rows whose key is in
-    the seen set; here 'seen' = users who ever signed up."""
+    the seen set. Mid-crawl, the seen set holds a PREFIX of history —
+    modeled as users who signed up in the first 10% of the event log —
+    so the survivor set is non-empty and the anti-join semantics are
+    value-verified (an all-seen fixture would match trivially on 0
+    rows). The cut is a 1-row broadcast, not a driver collect."""
     ev = _t(spark, sf, "events")
-    seen = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    cut = ev.agg(F.floor(F.max("event_id") / F.lit(10)).cast("long").alias("cut"))
+    seen = (
+        ev.crossJoin(F.broadcast(cut))
+        .filter((F.col("event_type") == "signup") & (F.col("event_id") < F.col("cut")))
+        .select("user_id")
+        .distinct()
+    )
     return ev.join(seen, "user_id", "left_anti").select("event_id", "user_id")
 
 
 _reg("seen_anti_join", _seen_anti_join, """
 SELECT e.event_id, e.user_id FROM events e
-WHERE NOT EXISTS (SELECT 1 FROM events s WHERE s.event_type = 'signup' AND s.user_id = e.user_id)
+WHERE NOT EXISTS (
+  SELECT 1 FROM events s
+  WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+    AND s.event_id < (SELECT CAST(floor(max(event_id) / 10) AS BIGINT) FROM events))
 """)
 
 
