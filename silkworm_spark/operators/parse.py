@@ -130,10 +130,18 @@ _TOKEN_RE = re.compile(
       | <!\[CDATA\[.*?(?:\]\]>|$)        # cdata block
       | <![^>]*>                         # doctype / declaration
       | <\?[^>]*>                        # processing instruction
-      | </([a-zA-Z][^\s>]*)\s*>          # end tag        -> group 1
-      | <([a-zA-Z][^\s>/]*)              # start tag name -> group 2
-        ((?:"[^"]*"|'[^']*'|[^>"'])*)    # attrs (quotes may hold '>') -> 3
-        (/?)>                            # self-closing marker -> 4
+      # complete nesting-free <p>/<a> elements as ONE token (the
+      # dominant page shape): body may not contain '<', attr quotes may
+      # not hold '<' — anything else falls through to the generic
+      # start-tag branch below and the mode machine handles it
+      | <[pP]((?:\s(?:"[^"<]*"|'[^'<]*'|[^><"'])*)?)>  # p attrs -> 1
+        ([^<]*)</[pP]\s*>                #   p body   -> group 2
+      | <[aA]((?:\s(?:"[^"<]*"|'[^'<]*'|[^><"'])*)?)>  # a attrs -> 3
+        ([^<]*)</[aA]\s*>                #   a body   -> group 4
+      | </([a-zA-Z][^\s>]*)\s*>          # end tag        -> group 5
+      | <([a-zA-Z][^\s>/]*)              # start tag name -> group 6
+        ((?:"[^"]*"|'[^']*'|[^>"'])*)    # attrs (quotes may hold '>') -> 7
+        (/?)>                            # self-closing marker -> 8
     """,
     re.S | re.X,
 )
@@ -158,14 +166,21 @@ def _attr_val(attrs: str, pat: re.Pattern) -> str | None:
     return _html_mod.unescape(v) if "&" in v else v
 
 
-def extract_spans(html_text: str, base_url: str) -> list[Span]:
-    """Emit (kind, text, media_ref) spans in document order — the exact
-    semantics of extract_spans_ref, via a single-regex tokenizer:
+def scan_span_cols(
+    html_text: str, base_url: str
+) -> tuple[list[str], list[str | None], list[str | None]]:
+    """Columnar core of the fast scanner: three parallel lists
+    ``(kinds, texts, media_refs)``, list index = span offset. Exact
+    semantics of extract_spans_ref via a single-regex tokenizer:
     <p> → text, <a href> → link (anchor text + absolute target),
     <img/video src> → media. head/script/style/title content skipped;
     script/style bodies treated as CDATA (no tag parsing inside), same
-    as html.parser."""
-    spans: list[Span] = []
+    as html.parser. Columnar so the Arrow output stage can bulk-extend
+    its value buffers without building a dict per span (the parse
+    stage is the crawl's dominant executor cost)."""
+    kinds: list[str] = []
+    texts: list[str | None] = []
+    refs: list[str | None] = []
     mode: str | None = None
     buf: list[str] = []
     href: str | None = None
@@ -176,13 +191,18 @@ def extract_spans(html_text: str, base_url: str) -> list[Span]:
     def flush() -> None:
         nonlocal mode, buf, href
         if mode == "p":
-            text = _WS.sub(" ", "".join(buf)).strip()
+            # " ".join(split()) ≡ _WS.sub(" ", s).strip() (same Unicode
+            # whitespace set), one C pass instead of regex sub + strip
+            text = " ".join("".join(buf).split())
             if text:
-                spans.append(dict(kind="text", text=text, media_ref=None))
+                kinds.append("text")
+                texts.append(text)
+                refs.append(None)
         elif mode == "a":
-            text = _WS.sub(" ", "".join(buf)).strip()
-            ref = url_join(base_url, href) if href else None
-            spans.append(dict(kind="link", text=text or None, media_ref=ref))
+            text = " ".join("".join(buf).split())
+            kinds.append("link")
+            texts.append(text or None)
+            refs.append(url_join(base_url, href) if href else None)
         mode, buf, href = None, [], None
 
     while pos < n:
@@ -194,7 +214,35 @@ def extract_spans(html_text: str, base_url: str) -> list[Span]:
         if m is None:
             break
         pos = m.end()
-        end_tag, tag, attrs, selfclose = m.groups()
+        (p_attrs, p_text, a_attrs, a_text,
+         end_tag, tag, attrs, selfclose) = m.groups()
+        if p_text is not None:  # complete <p>…</p> in one token
+            # generic equivalent: starttag flushes the pending mode
+            # (or is ignored under skip), endtag flush emits — inside a
+            # skip region the net effect is the single flush
+            if mode is not None:
+                flush()
+            if skip_depth == 0:
+                if "&" in p_text:
+                    p_text = _html_mod.unescape(p_text)
+                text = " ".join(p_text.split())
+                if text:
+                    kinds.append("text")
+                    texts.append(text)
+                    refs.append(None)
+            continue
+        if a_text is not None:  # complete <a …>…</a> in one token
+            if mode is not None:
+                flush()
+            if skip_depth == 0:
+                if "&" in a_text:
+                    a_text = _html_mod.unescape(a_text)
+                text = " ".join(a_text.split())
+                h = _attr_val(a_attrs, _HREF_RE) if a_attrs else None
+                kinds.append("link")
+                texts.append(text or None)
+                refs.append(url_join(base_url, h) if h else None)
+            continue
         if end_tag is not None:
             t = end_tag.lower()
             if t in _SKIP_TAGS:
@@ -226,16 +274,28 @@ def extract_spans(html_text: str, base_url: str) -> list[Span]:
             src = _attr_val(attrs, _SRC_RE)
             if src:
                 flush()
-                spans.append(dict(kind="image", text=None, media_ref=url_join(base_url, src)))
+                kinds.append("image")
+                texts.append(None)
+                refs.append(url_join(base_url, src))
         elif t == "video":
             src = _attr_val(attrs, _SRC_RE)
             if src:
                 flush()
-                spans.append(dict(kind="video", text=None, media_ref=url_join(base_url, src)))
+                kinds.append("video")
+                texts.append(None)
+                refs.append(url_join(base_url, src))
     flush()
-    for i, s in enumerate(spans):
-        s["offset"] = i
-    return spans
+    return kinds, texts, refs
+
+
+def extract_spans(html_text: str, base_url: str) -> list[Span]:
+    """Row-form wrapper over scan_span_cols — same spans as
+    extract_spans_ref (differential-tested in tests/test_parse.py)."""
+    kinds, texts, refs = scan_span_cols(html_text, base_url)
+    return [
+        dict(kind=k, text=t, media_ref=r, offset=i)
+        for i, (k, t, r) in enumerate(zip(kinds, texts, refs))
+    ]
 
 
 def parse_default(row: dict) -> Iterator[dict]:
@@ -359,64 +419,108 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                     del lst[c_off[-1]:]
                 del i_val[i_off[-1]:]
 
+            # hot-loop local bindings for the parse_default fast path
+            cc_url, cc_host, cc_idx = c_cols["url"], c_cols["host"], c_cols["idx"]
+            cc_rest = [c_cols[k] for k in
+                       ("cb", "method", "headers", "params", "meta",
+                        "data", "timeout", "priority", "dont_filter")]
+
             for i in range(len(urls)):
-                row = dict(
-                    url=urls[i], final_url=finals[i], status=statuses[i],
-                    content_type=cts[i], body=bodies[i], callback=cbs[i],
-                    seq=seqs[i], depth=depths[i],
-                )
-                for c in req_cols:
-                    vs = extras[c]
-                    v = vs[i] if vs is not None else None
-                    row[c] = as_dict(v) if c in (
-                        "headers", "params", "meta", "resp_headers") else v
-                cb = CALLBACKS.get(row["callback"] or "parse", parse_default)
+                cb = CALLBACKS.get(cbs[i] or "parse", parse_default)
                 kind, doc_id, err = "none", None, None
                 n_spans = n_children = n_items = 0
-                try:
-                    for o in cb(row):
-                        ok = o["out_kind"]
-                        if ok == "item":
+                if cb is parse_default:
+                    # inlined columnar parse_default: no row dict, no
+                    # generator protocol, no per-span dicts — the span
+                    # columns are bulk-extended straight from the
+                    # scanner's parallel lists (same semantics, pinned
+                    # by test_parse_stage_fast_path_matches_generic)
+                    try:
+                        body, ct = bodies[i], cts[i]
+                        if statuses[i] == 200 and is_html(body, ct):
+                            text, _enc = decode_body(body, ct)
+                            base = finals[i] or urls[i]
+                            kinds, txts, refs = scan_span_cols(text, base)
                             kind = "item"
-                            doc_id = canonicalize_url(row["final_url"] or row["url"])
-                            for s in o["spans"]:
-                                s_kind.append(s["kind"])
-                                s_text.append(s["text"])
-                                s_ref.append(s["media_ref"])
-                                s_idx.append(s["offset"])
-                                n_spans += 1
-                        elif ok == "request" and o["child_url"]:
-                            cu = canonicalize_url(o["child_url"])
-                            c_cols["url"].append(cu)
-                            c_cols["host"].append(host_of(cu))
-                            c_cols["idx"].append(o["child_index"])
-                            c_cols["cb"].append(o.get("callback"))  # NULL ⇒ inherit
-                            c_cols["method"].append(o.get("method"))
-                            c_cols["headers"].append(o.get("headers"))
-                            c_cols["params"].append(o.get("params"))
-                            c_cols["meta"].append(o.get("meta"))
-                            c_cols["data"].append(o.get("data"))
-                            c_cols["timeout"].append(o.get("timeout"))
-                            c_cols["priority"].append(o.get("priority"))
-                            c_cols["dont_filter"].append(o.get("dont_filter"))
-                            n_children += 1
-                        elif ok == "json_item":
-                            i_val.append(o["item"])
-                            n_items += 1
-                except Exception as exc:  # contain per row (engine.py:138-152)
-                    rollback()
-                    kind, doc_id, err = "error", None, f"{type(exc).__name__}: {exc}"
-                    n_spans = n_children = n_items = 0
+                            doc_id = canonicalize_url(base)
+                            n_spans = len(kinds)
+                            s_kind.extend(kinds)
+                            s_text.extend(txts)
+                            s_ref.extend(refs)
+                            s_idx.extend(range(n_spans))
+                            for j in range(n_spans):
+                                if kinds[j] == "link":
+                                    r = refs[j]
+                                    if r:
+                                        cu = canonicalize_url(r)
+                                        cc_url.append(cu)
+                                        cc_host.append(host_of(cu))
+                                        cc_idx.append(n_children)
+                                        n_children += 1
+                            if n_children:
+                                for lst in cc_rest:
+                                    lst.extend([None] * n_children)
+                    except Exception as exc:  # contain (engine.py:138-152)
+                        rollback()
+                        kind, doc_id, err = \
+                            "error", None, f"{type(exc).__name__}: {exc}"
+                        n_spans = n_children = n_items = 0
+                else:
+                    row = dict(
+                        url=urls[i], final_url=finals[i], status=statuses[i],
+                        content_type=cts[i], body=bodies[i], callback=cbs[i],
+                        seq=seqs[i], depth=depths[i],
+                    )
+                    for c in req_cols:
+                        vs = extras[c]
+                        v = vs[i] if vs is not None else None
+                        row[c] = as_dict(v) if c in (
+                            "headers", "params", "meta", "resp_headers") else v
+                    try:
+                        for o in cb(row):
+                            ok = o["out_kind"]
+                            if ok == "item":
+                                kind = "item"
+                                doc_id = canonicalize_url(row["final_url"] or row["url"])
+                                for s in o["spans"]:
+                                    s_kind.append(s["kind"])
+                                    s_text.append(s["text"])
+                                    s_ref.append(s["media_ref"])
+                                    s_idx.append(s["offset"])
+                                    n_spans += 1
+                            elif ok == "request" and o["child_url"]:
+                                cu = canonicalize_url(o["child_url"])
+                                c_cols["url"].append(cu)
+                                c_cols["host"].append(host_of(cu))
+                                c_cols["idx"].append(o["child_index"])
+                                c_cols["cb"].append(o.get("callback"))  # NULL ⇒ inherit
+                                c_cols["method"].append(o.get("method"))
+                                c_cols["headers"].append(o.get("headers"))
+                                c_cols["params"].append(o.get("params"))
+                                c_cols["meta"].append(o.get("meta"))
+                                c_cols["data"].append(o.get("data"))
+                                c_cols["timeout"].append(o.get("timeout"))
+                                c_cols["priority"].append(o.get("priority"))
+                                c_cols["dont_filter"].append(o.get("dont_filter"))
+                                n_children += 1
+                            elif ok == "json_item":
+                                i_val.append(o["item"])
+                                n_items += 1
+                    except Exception as exc:  # contain per row (engine.py:138-152)
+                        rollback()
+                        kind, doc_id, err = \
+                            "error", None, f"{type(exc).__name__}: {exc}"
+                        n_spans = n_children = n_items = 0
                 if kind == "none" and n_children == 0 and n_items == 0:
                     rollback()
                     continue
                 s_off.append(s_off[-1] + n_spans)
                 c_off.append(c_off[-1] + n_children)
                 i_off.append(i_off[-1] + n_items)
-                o_url.append(row["url"]); o_kind.append(kind)
-                o_doc.append(doc_id); o_seq.append(row["seq"])
-                o_depth.append(row["depth"]); o_status.append(row["status"])
-                o_cb.append(row["callback"]); o_err.append(err)
+                o_url.append(urls[i]); o_kind.append(kind)
+                o_doc.append(doc_id); o_seq.append(seqs[i])
+                o_depth.append(depths[i]); o_status.append(statuses[i])
+                o_cb.append(cbs[i]); o_err.append(err)
 
             spans_arr = pa.ListArray.from_arrays(
                 pa.array(s_off, pa.int32()),

@@ -100,3 +100,54 @@ def test_parse_sitemap():
                content_type="application/xml", body=xml, callback="parse_sitemap")
     out = list(parse_sitemap(row))
     assert [o["child_url"] for o in out] == ["http://a.com/1", "http://a.com/2"]
+
+
+def test_parse_stage_fast_path_matches_generic(small_web):
+    """run_parse_stage inlines parse_default columnar when the callback
+    resolves to it (no row dicts, no generator protocol). The inlined
+    path must be batch-for-batch identical to the generic dispatch
+    machinery running the same callback under an alias name."""
+    import pyarrow as pa
+
+    from silkworm_spark.operators import parse as P
+
+    pages = [p for p in small_web["web"]][:300]
+    # adversarial extras: decode error containment + entity/nesting shapes
+    pages.append(dict(url="http://h.com/bad", host="h.com", status=200,
+                      content_type="text/html", redirect_to=None,
+                      body=b"<p>a<b>nested</b></p><a href='/x'>l<i>i</i></a>"))
+    pages.append(dict(url="http://h.com/amp", host="h.com", status=200,
+                      content_type="text/html",  redirect_to=None,
+                      body=b'<p>x &amp; y</p><a href="/q?a=1&amp;b=2">z</a>'))
+
+    def batch(cb):
+        n = len(pages)
+        return pa.RecordBatch.from_pydict(dict(
+            url=[p["url"] for p in pages],
+            final_url=[p["url"] for p in pages],
+            status=pa.array([p["status"] for p in pages], pa.int32()),
+            content_type=[p["content_type"] for p in pages],
+            body=pa.array([p["body"] for p in pages], pa.binary()),
+            callback=pa.array([cb] * n, pa.string()),
+            seq=pa.array(list(range(n)), pa.int64()),
+            depth=pa.array([1] * n, pa.int32()),
+        ))
+
+    class FakeDF:
+        columns = ["url", "final_url", "status", "content_type", "body",
+                   "callback", "seq", "depth"]
+
+        def mapInArrow(self, fn, schema):
+            return fn
+
+    gen = P.run_parse_stage(FakeDF())
+    # alias name forces the generic dict/generator dispatch of the SAME fn
+    P.CALLBACKS["parse_generic_alias"] = P.parse_default
+    try:
+        fast = pa.Table.from_batches(list(gen([batch(None)])))
+        slow = pa.Table.from_batches(list(gen([batch("parse_generic_alias")])))
+    finally:
+        del P.CALLBACKS["parse_generic_alias"]
+    # callback column differs by construction; everything else must not
+    assert fast.drop_columns(["callback"]).equals(slow.drop_columns(["callback"]))
+    assert fast.num_rows > 100
