@@ -11,17 +11,16 @@ key ``(parent_seq, child_index)``.
 Scale path: a sharded bloom filter over canonical-URL xxhash64
 pre-filters candidates before the exact anti-join — definitely-unseen
 rows skip the join entirely; only "maybe seen" rows (true dupes +
-~fp-rate) shuffle against the seen table. The filter is incrementally
-maintained executor-side and serialized with each checkpoint (see
-plans/bloom.py).
+~fp-rate) shuffle against the seen table. The filter lives as a
+(shard, bits) table in the checkpoint and is probed shard-locally —
+only the hash column is exchanged, nothing is broadcast, no process
+holds more than one shard's bits (see plans/bloom.py).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from silkworm_spark.plans.bloom import ShardedBloom
 
 
 def first_wins_intra_round(candidates: DataFrame) -> DataFrame:
@@ -51,7 +50,7 @@ def first_wins_intra_round(candidates: DataFrame) -> DataFrame:
 def dedup_candidates(
     candidates: DataFrame,
     seen: DataFrame,
-    bloom: ShardedBloom | None = None,
+    bloom=None,  # BloomTable | ShardedBloom (duck-typed: is_empty + maybe_hashes)
     n_seen: int | None = None,
     broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
@@ -72,8 +71,13 @@ def dedup_candidates(
       the seen filter removes every occurrence of a URL or none.
     - seen too big to broadcast (the 10^10 path): the sharded bloom
       pre-filters candidates so only "maybe seen" rows (true dupes +
-      fp-rate) enter the shuffle anti-join. The probed frame is cached
-      and force-materialized, because both branches (maybe /
+      fp-rate) enter the shuffle anti-join. The probe is SHARD-LOCAL
+      (bloom.maybe_hashes): only the candidates' 8-byte hash column is
+      exchanged, cogrouped with the (shard, bits) table — no broadcast
+      of filter bits, no driver residency. The maybe verdicts join back
+      onto the first-wins output by url_hash (AQE picks broadcast when
+      the maybe set is small). The flagged frame is cached and
+      force-materialized, because both branches (maybe /
       definitely-new) consume it in one downstream job — an
       unmaterialized cache would be computed twice concurrently. The
       cache handle rides on ``fresh._dedup_cache`` for the caller to
@@ -96,15 +100,14 @@ def dedup_candidates(
         out._dedup_cache = None
         return out
 
-    checked = first_wins_intra_round(nf).withColumn(
-        "_maybe", bloom.probe_col(candidates, "url_hash")
-    ).cache()
+    maybe = bloom.maybe_hashes(nf, "url_hash").withColumn("_maybe", F.lit(True))
+    checked = first_wins_intra_round(nf).join(maybe, on="url_hash", how="left").cache()
     checked.count()  # materialize before the branches fan out
     cols = candidates.columns
     fresh = (
         checked.filter(F.col("_maybe")).drop("_maybe")
         .join(seen_keys, on=["url_hash", "url"], how="left_anti")
-        .unionByName(checked.filter(~F.col("_maybe")).drop("_maybe"))
+        .unionByName(checked.filter(F.col("_maybe").isNull()).drop("_maybe"))
         .select(*cols)
     )
     out = fresh.unionByName(bypass)

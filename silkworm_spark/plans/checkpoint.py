@@ -28,7 +28,9 @@ from pyspark.sql import types as T
 from pyspark.sql.types import StructType
 
 from silkworm_spark import schemas
-from silkworm_spark.plans.bloom import ShardedBloom
+from silkworm_spark.plans.bloom import (
+    BITS_SCHEMA, BloomTable, ShardedBloom, fold_bits,
+)
 
 _APPEND_TABLES = (
     "seen", "documents", "items", "metrics", "fetch_log", "frontier_delta", "consumed"
@@ -109,12 +111,11 @@ class PendingCommit:
     them, runs compaction, and atomically publishes the manifest."""
 
     def __init__(self, ckpt: "CrawlCheckpoint", pool, sink_futures,
-                 bloom_future, bloom, new_manifest: dict, rdir: str) -> None:
+                 bloom_future, new_manifest: dict, rdir: str) -> None:
         self.ckpt = ckpt
         self.pool = pool
         self.sink_futures = sink_futures
         self.bloom_future = bloom_future
-        self.bloom = bloom
         self.new_manifest = new_manifest
         self.rdir = rdir
         self._done = False
@@ -123,16 +124,17 @@ class PendingCommit:
         if self._done:
             return
         self._done = True
+        bloom_rel = None
         try:
             for f in self.sink_futures:
                 name, rel = f.result()
                 if rel is not None:
                     self.new_manifest["tables"].setdefault(name, []).append(rel)
             if self.bloom_future is not None:
-                self.bloom_future.result()
+                bloom_rel = self.bloom_future.result()
         finally:
             self.pool.shutdown(wait=True)
-        self.ckpt._compact_and_publish(self.new_manifest, self.rdir, self.bloom)
+        self.ckpt._compact_and_publish(self.new_manifest, self.rdir, bloom_rel)
 
 
 class CrawlCheckpoint:
@@ -146,7 +148,7 @@ class CrawlCheckpoint:
             "vtime": 0.0,
             "seq_next": 0,
             "tables": {name: [] for name in (*_APPEND_TABLES, *_SNAPSHOT_TABLES)},
-            "bloom": None,
+            "bloom_parts": [],
         }
         self._load_manifest()
 
@@ -181,10 +183,22 @@ class CrawlCheckpoint:
             return deltas
         return deltas.join(consumed, "seq", "left_anti")
 
-    def load_bloom(self, n_shards: int, bits_per_shard: int, k: int) -> ShardedBloom:
-        if self.manifest.get("bloom"):
-            return ShardedBloom.load(os.path.join(self.root, self.manifest["bloom"]))
-        return ShardedBloom(n_shards=n_shards, bits_per_shard=bits_per_shard, k=k)
+    def load_bloom(self, n_shards: int, bits_per_shard: int, k: int) -> BloomTable:
+        """The checkpoint's bloom as a path-backed BloomTable (bits stay
+        in (shard, bits) parquet parts; nothing loads driver-side). A
+        pre-table checkpoint (single npz blob) is migrated once into
+        part form — skipping it would silently produce bloom false
+        negatives, i.e. re-enqueue seen URLs."""
+        if self.manifest.get("bloom") and not self.manifest.get("bloom_parts"):
+            old = ShardedBloom.load(os.path.join(self.root, self.manifest["bloom"]))
+            rel = "bloom_migrated"
+            old.bits_df(self.spark).write.mode("overwrite").parquet(
+                os.path.join(self.root, rel)
+            )
+            self.manifest["bloom_parts"] = [rel]
+            self.manifest["bloom"] = None
+            return BloomTable(self, old.n_shards, old.bits_per_shard, old.k)
+        return BloomTable(self, n_shards, bits_per_shard, k)
 
     def commit(
         self,
@@ -193,7 +207,7 @@ class CrawlCheckpoint:
         seq_next: int,
         appends: dict[str, DataFrame],
         snapshots: dict[str, DataFrame],
-        bloom: ShardedBloom | None = None,
+        bloom: BloomTable | None = None,
         bloom_update: DataFrame | None = None,
         known_counts: dict[str, int] | None = None,
         extras: dict[str, Any] | None = None,
@@ -309,9 +323,20 @@ class CrawlCheckpoint:
         n_tasks = len(big) + len(snapshots) + len(deferred) + 2
         pool = cf.ThreadPoolExecutor(max_workers=n_tasks)
         try:
+            def write_bloom_delta() -> str:
+                # merge-on-read: only this round's delta bits land on
+                # disk (touched shards only) — O(new URLs), built and
+                # written entirely executor-side
+                rel = os.path.join(rdir, "bloom")
+                bloom.delta_for(bloom_update).write.mode("overwrite").parquet(
+                    os.path.join(self.root, rel)
+                )
+                return rel
+
             bfut = (
-                pool.submit(bloom.update_from_df, bloom_update)
+                pool.submit(write_bloom_delta)
                 if bloom is not None and bloom_update is not None
+                and counts.get("seen", 1) != 0
                 else None
             )
             pfut = pool.submit(write_packed, small) if small else None
@@ -340,7 +365,7 @@ class CrawlCheckpoint:
         self.manifest = new_manifest
         pending = PendingCommit(
             ckpt=self, pool=pool, sink_futures=dfuts, bloom_future=bfut,
-            bloom=bloom, new_manifest=new_manifest, rdir=rdir,
+            new_manifest=new_manifest, rdir=rdir,
         )
         if not async_sinks:
             pending.finalize()
@@ -348,7 +373,7 @@ class CrawlCheckpoint:
         return pending
 
     def _compact_and_publish(self, new_manifest: dict, rdir: str,
-                             bloom: ShardedBloom | None) -> None:
+                             bloom_rel: str | None) -> None:
         # merge-on-read compaction: once enough deltas accumulate, fold
         # deltas ⊖ consumed into one base so the read-side anti-join
         # stays bounded. Still atomic — the compacted base is written
@@ -370,10 +395,19 @@ class CrawlCheckpoint:
             )
             new_manifest["tables"]["frontier_delta"] = [base_rel]
             new_manifest["tables"]["consumed"] = []
-        if bloom is not None:
-            rel = os.path.join(rdir, "bloom.npz")
-            bloom.save(os.path.join(self.root, rel))
-            new_manifest["bloom"] = rel
+        if bloom_rel is not None:
+            parts = list(new_manifest.get("bloom_parts") or []) + [bloom_rel]
+            # same merge-on-read compaction as the frontier: fold the
+            # per-round delta parts into one row per shard so the probe
+            # ORs a bounded number of parts
+            if len(parts) >= self.compact_every:
+                paths = [os.path.join(self.root, p) for p in parts]
+                base_rel = os.path.join(rdir, "bloom_base")
+                fold_bits(
+                    self.spark.read.schema(BITS_SCHEMA).parquet(*paths)
+                ).write.mode("overwrite").parquet(os.path.join(self.root, base_rel))
+                parts = [base_rel]
+            new_manifest["bloom_parts"] = parts
 
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:

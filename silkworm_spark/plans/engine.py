@@ -67,7 +67,7 @@ from silkworm_spark.operators.order import assign_dense_seq
 from silkworm_spark.operators.parse import run_parse_stage
 from silkworm_spark.operators.retry import RETRY_HTTP_CODES
 from silkworm_spark.operators.scheduler import dequeue_round
-from silkworm_spark.plans.bloom import ShardedBloom
+from silkworm_spark.plans.bloom import BloomTable
 from silkworm_spark.plans.checkpoint import CrawlCheckpoint, _empty_df
 from silkworm_spark.schemas import (
     FRONTIER_COLS as _FRONTIER_COLS,
@@ -162,7 +162,7 @@ class CrawlEngine:
             raise ValueError("offline fetch mode requires a web fixture DataFrame")
         self.stats = CrawlStats()
 
-    def _load_bloom(self) -> ShardedBloom:
+    def _load_bloom(self) -> BloomTable:
         cfg = self.config
         return self.ckpt.load_bloom(cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_k)
 

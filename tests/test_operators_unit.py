@@ -57,11 +57,10 @@ def test_bloom_executor_update_equals_driver_add(spark):
     df = spark.createDataFrame([(int(h),) for h in hashes], "url_hash long")
     b.update_from_df(df.repartition(7))  # arbitrary physical layout
     assert (a.bits == b.bits).all() and a.count == b.count == 5000
-    # and the probe column agrees with the local probe
-    got = (
-        df.withColumn("m", b.probe_col(df, "url_hash")).collect()
-    )
-    assert all(r["m"] for r in got)
+    # and the shard-local table probe agrees with the local probe:
+    # every inserted hash must come back as a maybe (no false negatives)
+    maybe = {r["url_hash"] for r in b.maybe_hashes(df).collect()}
+    assert maybe == {int(h) for h in hashes}
 
 
 # ---- dense seq ----
@@ -264,3 +263,22 @@ def test_dequeue_fifo_fast_path_equals_general(spark):
         assert hs_s == hs_f
         slow.release()
         fast.release()
+
+
+def test_bloom_table_probe_equals_driver_filter(spark):
+    """The shard-local table probe must return EXACTLY the hashes the
+    driver-resident reference filter flags (identical false-positive
+    set — same bits, same splitmix64 positions), and never miss an
+    inserted hash (a bloom false negative would re-enqueue seen URLs)."""
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 10, k=3)  # small → real fp
+    ins = (np.arange(3000, dtype=np.int64) * 2654435761) % (1 << 50)
+    bf.add_many(ins)
+    pop = np.concatenate(
+        [ins[:500], np.arange(4000, dtype=np.int64) * 7919 + (1 << 45)]
+    )
+    df = spark.createDataFrame([(int(h),) for h in pop], "url_hash long")
+    maybe = {r["url_hash"] for r in bf.maybe_hashes(df).collect()}
+    local = {int(h) for h, m in zip(pop, bf.contains_many(pop)) if m}
+    assert maybe == local
+    assert {int(h) for h in ins[:500]} <= maybe  # no false negatives
+    assert len(maybe) < len(pop)  # and the filter actually filters

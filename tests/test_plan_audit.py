@@ -189,3 +189,33 @@ def test_pagerank_keyed_shuffles_only(spark):
     assert "partial_sum" in plan, plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_probe_exchanges_only_hash_column(spark):
+    """The shard-local bloom probe must shuffle ONLY the 8-byte hash
+    column (+ its derived shard key): url/body/etc are pruned before
+    the exchange, and the bits ride in as (shard, bits) rows — nothing
+    is broadcast, no task holds more than its own shards' bits."""
+    import re
+
+    import numpy as np
+
+    from silkworm_spark.plans.bloom import ShardedBloom
+
+    bf = ShardedBloom(n_shards=8, bits_per_shard=1 << 12, k=5)
+    bf.add_many(np.arange(100, dtype=np.int64))
+    cand = spark.createDataFrame(
+        [(f"http://h.test/{i}", int(i), "x" * 50, False) for i in range(50)],
+        "url string, url_hash long, body string, dont_filter boolean",
+    )
+    probe = bf.maybe_hashes(cand)
+    plan = _plan(probe)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Broadcast" not in plan
+    exchanges = [b for b in re.split(r"\n\n", plan)
+                 if re.match(r"\(\d+\) Exchange", b)]
+    assert exchanges, plan
+    for block in exchanges:
+        m = re.search(r"Input \[\d+\]: \[([^\]]*)\]", block)
+        cols = {c.strip().split("#")[0] for c in m.group(1).split(",")}
+        assert cols <= {"url_hash", "_shard", "shard", "bits"}, block
