@@ -609,6 +609,51 @@ ORDER BY cosine DESC, e.vec_id LIMIT 10
 """)
 
 
+def _embed_ivf_topk_nprobe(spark, sf):
+    """The PRODUCTION IVF config — partial probe (nprobe=2 of 8 lists),
+    the pruned-scan path the engine exists for at 100 TB. Value-exact
+    oracle: the quantizer is the deterministic prefix-centroid set
+    (first 8 vectors, unit-normalized, 6-dp rounded — no k-means), so
+    DuckDB recomputes assignment, probe ranking, and the pruned rerank
+    bit-for-bit. The learned-quantizer path stays covered by
+    embed_ivf_topk (exact mode) + the recall floor in
+    tests/test_similarity_recall.py."""
+    from silkworm_spark.operators.similarity import ivf_topk, prefix_centroids
+
+    emb = _t(spark, sf, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rest = emb.filter(F.col("vec_id") != 0)
+    cents = prefix_centroids(rest, n_clusters=8)
+    return ivf_topk(rest, cents, qvec, k=10, nprobe=2)
+
+
+_reg("embed_ivf_topk_nprobe", _embed_ivf_topk_nprobe, """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id != 0),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> round(x / sqrt(list_dot_product(v, v)), 6)) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+  FROM e CROSS JOIN cents
+),
+probe AS (
+  SELECT cid FROM cents, q
+  ORDER BY list_dot_product(cv, qv) DESC, cid LIMIT 2
+)
+SELECT a.vec_id,
+       round(list_dot_product(a.v, q.qv) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cosine
+FROM assign a, q
+WHERE a.rn = 1 AND a.cid IN (SELECT cid FROM probe)
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+""")
+
+
 def _embed_neardup(spark, sf):
     """Brute-force near-dup pairs (exact oracle); the LSH-bucketed
     variant is embed_neardup_lsh (rows-only check)."""

@@ -259,6 +259,7 @@ QUERY_NAMES = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5", "tpch_q6", "dim_broadcast_join",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
+    "embed_ivf_topk_nprobe",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
     "corpus_clean_pipeline", "corpus_hash_sample",

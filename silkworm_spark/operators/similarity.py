@@ -177,6 +177,30 @@ def ivf_centroids(
     return [[round(float(v), 6) for v in row] for row in c]
 
 
+def prefix_centroids(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Quantizer = the first ``n_clusters`` vectors in id order,
+    unit-normalized, rounded to 6 decimals — a deterministic,
+    SQL-recomputable centroid set (no k-means iterations), so the
+    PARTIAL-probe IVF search can be value-oracled cross-engine
+    (oracle ``embed_ivf_topk_nprobe``). Production trains with
+    ``ivf_centroids``; the search path below is identical either way —
+    this is the "externally supplied quantizer" loading pattern."""
+    rows = (
+        embeddings.orderBy(id_col).limit(n_clusters).select(vec_col).collect()
+    )
+    cents = []
+    for r in rows:
+        v = np.asarray(r[0], dtype=np.float64)
+        nv = np.linalg.norm(v)
+        cents.append([round(float(x / nv), 6) for x in v])
+    return cents
+
+
 def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
     """argmax over centroid dot products, as a pure column expression
     (centroids embedded as literals → SQL-oracle-recomputable)."""
@@ -230,7 +254,10 @@ def ivf_topk(
     q = np.asarray(query_vec, dtype=np.float64)
     qn = q / (np.linalg.norm(q) + 1e-12)
     sims = np.asarray(centroids, dtype=np.float64) @ qn
-    probe = [int(i) for i in np.argsort(-sims)[:nprobe]]
+    # deterministic tie-break: higher sim first, lower list id on ties
+    # (matches the SQL oracle's ORDER BY sim DESC, cid ASC)
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    probe = [int(i) for i in order[:nprobe]]
     assigned = ivf_assign(embeddings, centroids, vec_col)
     qlit = F.array(*[F.lit(float(v)) for v in query_vec])
     cos = cosine_col(F.col(vec_col).cast("array<double>"), qlit)
