@@ -288,6 +288,72 @@ def offline_fetch_resolved(
     return ok_rows.unionByName(missing_rows)
 
 
+# Browser header presets — the stdlib-reachable half of the reference's
+# browser emulation (rnet `Emulation.Firefox139` default, http.py:26;
+# the Rust client applies the browser's header set AND its TLS/HTTP2
+# fingerprint). HONESTY NOTE: stdlib ssl cannot reproduce a browser TLS
+# ClientHello (cipher ordering, extension set/order, GREASE, ALPN h2)
+# or an HTTP/2 SETTINGS fingerprint — this path speaks HTTP/1.1 with
+# Python's default TLS stack. Against fingerprint-gated hosts the two
+# engines see different webs; what CAN be matched from stdlib is the
+# header surface below (opt in via
+# CrawlConfig(default_headers=BROWSER_HEADER_PRESETS["firefox139"])).
+# Compressed responses the presets invite are decoded transparently
+# (gzip/deflate, Content-Encoding — reference gets this from rnet).
+BROWSER_HEADER_PRESETS: dict[str, dict[str, str]] = {
+    "firefox139": {
+        "User-Agent": ("Mozilla/5.0 (X11; Linux x86_64; rv:139.0) "
+                       "Gecko/20100101 Firefox/139.0"),
+        "Accept": ("text/html,application/xhtml+xml,application/xml;q=0.9,"
+                   "*/*;q=0.8"),
+        "Accept-Language": "en-US,en;q=0.5",
+        "Accept-Encoding": "gzip, deflate",
+        "Upgrade-Insecure-Requests": "1",
+        "Sec-Fetch-Dest": "document",
+        "Sec-Fetch-Mode": "navigate",
+        "Sec-Fetch-Site": "none",
+        "Sec-Fetch-User": "?1",
+    },
+    "chrome137": {
+        "User-Agent": ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 "
+                       "(KHTML, like Gecko) Chrome/137.0.0.0 Safari/537.36"),
+        "Accept": ("text/html,application/xhtml+xml,application/xml;q=0.9,"
+                   "image/avif,image/webp,image/apng,*/*;q=0.8,"
+                   "application/signed-exchange;v=b3;q=0.7"),
+        "Accept-Language": "en-US,en;q=0.9",
+        "Accept-Encoding": "gzip, deflate",
+        "Upgrade-Insecure-Requests": "1",
+        "Sec-Fetch-Dest": "document",
+        "Sec-Fetch-Mode": "navigate",
+        "Sec-Fetch-Site": "none",
+        "Sec-Fetch-User": "?1",
+    },
+}
+
+
+def _decode_content(body: bytes, headers) -> bytes:
+    """Transparent Content-Encoding decode (gzip/deflate) — required
+    once the browser presets advertise Accept-Encoding; the reference
+    gets this from rnet."""
+    enc = (headers.get("Content-Encoding") or "").strip().lower()
+    if not body or enc in ("", "identity"):
+        return body
+    import gzip as _gzip
+    import zlib as _zlib
+
+    try:
+        if enc == "gzip":
+            return _gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return _zlib.decompress(body)
+            except _zlib.error:  # raw-deflate servers omit the zlib wrapper
+                return _zlib.decompress(body, -_zlib.MAX_WBITS)
+    except Exception:
+        pass  # undecodable → hand back the raw bytes with the header
+    return body
+
+
 def live_fetch(
     batch: DataFrame,
     timeout_s: float = 30.0,
@@ -346,6 +412,8 @@ def live_fetch(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import concurrent.futures as cf
+        import http.client
+        import threading
         import urllib.error
         import urllib.parse
         import urllib.request
@@ -357,6 +425,14 @@ def live_fetch(
         # across Arrow batches of this partition (host groups never run
         # on two threads at once, so no lock is needed)
         last_start: dict[str, float] = {}
+
+        # per-THREAD keep-alive connections, keyed (scheme, netloc):
+        # a host group's serial requests reuse one TCP connection
+        # (reference rnet pools keep-alive connections, http.py:43;
+        # pacing already serializes per host, so reuse is safe).
+        # Thread-local because a cross-host redirect may touch a netloc
+        # another pool thread is fetching.
+        tls = threading.local()
 
         class _NoRedirect(urllib.request.HTTPRedirectHandler):
             def redirect_request(self, *a, **k):  # 3xx falls through
@@ -375,21 +451,58 @@ def live_fetch(
                     sleep(wait)
             last_start[host] = monotonic()
 
+        def open_keepalive(url, method, headers, data, tmo):
+            """One request over a pooled per-(scheme, netloc) HTTP/1.1
+            connection, redirects NOT followed → (status, headers,
+            body). A stale keep-alive socket (server closed between
+            requests) gets ONE transparent reconnect."""
+            sp = urllib.parse.urlsplit(url)
+            key = (sp.scheme, sp.netloc)
+            path = (sp.path or "/") + (f"?{sp.query}" if sp.query else "")
+            conns = getattr(tls, "conns", None)
+            if conns is None:
+                conns = tls.conns = {}
+            for attempt in (0, 1):
+                conn = conns.get(key)
+                if conn is None:
+                    cls = (http.client.HTTPSConnection if sp.scheme == "https"
+                           else http.client.HTTPConnection)
+                    conn = conns[key] = cls(sp.hostname, sp.port, timeout=tmo)
+                if conn.sock is not None:
+                    conn.sock.settimeout(tmo)  # per-request override
+                try:
+                    conn.request(method, path, body=data, headers=headers)
+                    resp = conn.getresponse()
+                    body = resp.read()
+                except (http.client.HTTPException, OSError):
+                    conn.close()
+                    conns.pop(key, None)
+                    if attempt:
+                        raise
+                    continue  # reconnect once on a stale pooled socket
+                if resp.will_close:
+                    conn.close()
+                    conns.pop(key, None)
+                return resp.status, resp.headers, _decode_content(body, resp.headers)
+
         def open_once(url, method, headers, data, proxy, tmo):
             """One request, redirects NOT followed → (status, headers,
-            body, geturl)."""
+            body). Direct requests ride the keep-alive pool; proxied
+            requests go through urllib's ProxyHandler (fresh opener —
+            proxy tunneling isn't pooled)."""
+            if not proxy:
+                return open_keepalive(url, method, headers, data, tmo)
             req = urllib.request.Request(
                 url, data=data, headers=headers, method=method
             )
-            handlers: list = [_NoRedirect()]
-            if proxy:
-                handlers.append(
-                    urllib.request.ProxyHandler({"http": proxy, "https": proxy})
-                )
-            opener = urllib.request.build_opener(*handlers)
+            opener = urllib.request.build_opener(
+                _NoRedirect(),
+                urllib.request.ProxyHandler({"http": proxy, "https": proxy}),
+            )
             try:
                 with opener.open(req, timeout=tmo) as resp:
-                    return resp.status, resp.headers, resp.read()
+                    return resp.status, resp.headers, \
+                        _decode_content(resp.read(), resp.headers)
             except urllib.error.HTTPError as e:
                 # non-2xx is still a response (reference returns it to
                 # the middleware chain, http.py:140-152)
@@ -399,7 +512,7 @@ def live_fetch(
                     body = b""
                 finally:
                     e.close()
-                return e.code, e.headers, body
+                return e.code, e.headers, _decode_content(body, e.headers)
 
         def fetch_one(row: dict) -> dict:
             row = dict(row)

@@ -36,24 +36,50 @@ REDIRECTS = {
 
 HITS: dict[str, list[float]] = {}  # path -> monotonic request-start times
 HITS_LOCK = threading.Lock()
+CONN_COUNT = {"n": 0}  # distinct TCP connections accepted
 
 
 class _Handler(BaseHTTPRequestHandler):
     server_version = "testsrv/1"
+    # HTTP/1.1 so keep-alive is real (1.0 would close per request and
+    # mask a client that fails to reuse connections)
+    protocol_version = "HTTP/1.1"
+    timeout = 10  # idle keep-alive connections self-close
+
+    def setup(self):
+        super().setup()
+        with HITS_LOCK:
+            CONN_COUNT["n"] += 1
 
     def do_GET(self):  # noqa: N802 (stdlib naming)
         from time import monotonic
 
         with HITS_LOCK:
             HITS.setdefault(self.path.split("?")[0], []).append(monotonic())
+        if self.path == "/gzip":
+            import gzip as _gzip
+
+            raw = b"<html><body><p>gzip body ok</p></body></html>"
+            gz = _gzip.compress(raw)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Encoding", "gzip")
+            self.send_header("X-Echo-Accept", self.headers.get("Accept", ""))
+            self.send_header("X-Echo-UA", self.headers.get("User-Agent", ""))
+            self.send_header("Content-Length", str(len(gz)))
+            self.end_headers()
+            self.wfile.write(gz)
+            return
         if self.path in REDIRECTS:
             self.send_response(302)
             self.send_header("Location", REDIRECTS[self.path])
+            self.send_header("Content-Length", "0")
             self.end_headers()
             return
         body = PAGES.get(self.path.split("?")[0])
         if body is None:
             self.send_response(404)
+            self.send_header("Content-Length", "0")
             self.end_headers()
             return
         self.send_response(200)
@@ -70,6 +96,7 @@ class _Handler(BaseHTTPRequestHandler):
 @pytest.fixture(scope="module")
 def server():
     srv = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    srv.block_on_close = False  # don't join lingering keep-alive handlers
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -222,3 +249,37 @@ def test_live_crawl_end_to_end(server, spark, tmp_path):
     assert items == ["LQ1", "LQ2"]
     fetched = {r["url"] for r in eng.fetch_log().collect()}
     assert fetched == {f"{server}/", f"{server}/two"}
+
+
+def test_live_fetch_reuses_connection_per_host(server, spark):
+    """A host group's serial requests must ride ONE TCP connection
+    (keep-alive pooling, matching the reference's pooled rnet client —
+    http.py:43); redirect hops included. The server counts accepted
+    connections; the count must rise by exactly 1 for a 5-URL
+    same-host sequence incl. a redirect hop."""
+    from silkworm_spark.operators.fetch import live_fetch
+
+    base = CONN_COUNT["n"]
+    batch = _mk_batch(spark, server, ["/", "/two", "/redirect", "/two", "/"])
+    out = live_fetch(batch.repartition(1), timeout_s=5).collect()
+    assert sorted(r["status"] for r in out) == [200, 200, 200, 200, 200]
+    assert {r["redirect_times"] for r in out} == {0, 1}
+    assert CONN_COUNT["n"] - base == 1
+
+
+def test_live_fetch_browser_preset_headers_and_gzip(server, spark):
+    """The stdlib-reachable half of the reference's browser emulation
+    (rnet Emulation.Firefox139, http.py:26): the preset header set
+    reaches the wire, and the gzip bodies it invites come back decoded
+    (rnet decodes transparently; so must we). The TLS-fingerprint delta
+    itself is documented at BROWSER_HEADER_PRESETS — stdlib ssl cannot
+    reproduce a browser ClientHello."""
+    from silkworm_spark.operators.fetch import BROWSER_HEADER_PRESETS, live_fetch
+
+    preset = BROWSER_HEADER_PRESETS["firefox139"]
+    batch = _mk_batch(spark, server, ["/gzip"])
+    out = live_fetch(batch, timeout_s=5, default_headers=preset).collect()[0]
+    assert out["status"] == 200 and out["error"] is None
+    assert b"gzip body ok" in out["body"]  # decoded, not gzip bytes
+    assert out["resp_headers"]["x-echo-ua"] == preset["User-Agent"]
+    assert out["resp_headers"]["x-echo-accept"] == preset["Accept"]
