@@ -1744,3 +1744,47 @@ SINKS.update({
     "elasticsearch": write_elasticsearch,
     "s3_jsonl": write_s3_jsonl,
 })
+
+
+def write_vortex(df: DataFrame, path: str, parquet_standin: bool = False) -> int:
+    """VortexPipeline (reference pipelines.py:1478-1555): buffer all
+    items, build ``pa.Table.from_pylist(items)``, write one Vortex file
+    via ``vortex.io.write`` on close — reproduced call-for-call when the
+    ``vortex`` package is importable (it is an optional extra in the
+    reference too: ``pip install silkworm-rs[vortex]``,
+    pipelines.py:1514-1517).
+
+    WAIVER (recorded with the same rigor as the former Snowflake one,
+    inverse outcome): the sandbox has no ``vortex`` package and no
+    network, and the Vortex on-disk footer is defined by FlatBuffers
+    schema files (layout + dtype tables) that are not reproducible from
+    memory — hand-guessed footer bytes would claim spec conformance no
+    independent decoder here could check, unlike Avro OCF/MsgPack/GIF
+    whose byte layouts are fully specified in their RFC/spec prose.
+    So: with the library absent this raises ImportError exactly like
+    the reference, unless ``parquet_standin=True`` explicitly opts into
+    writing the SAME buffered Arrow table as a clearly-labeled Parquet
+    file (identical rows, no fake Vortex magic bytes)."""
+    import pyarrow as pa
+
+    items = list(_json_rows(df))
+    table = pa.Table.from_pylist(items)
+    try:
+        import vortex  # optional, as in the reference
+
+        vortex.io.write(table, str(path))
+        return len(items)
+    except ImportError:
+        if not parquet_standin:
+            raise ImportError(
+                "vortex is required for write_vortex. Install it with: "
+                "pip install vortex-data (or pass parquet_standin=True "
+                "for a labeled Parquet stand-in)"
+            ) from None
+    import pyarrow.parquet as pq
+
+    pq.write_table(table, path)
+    return len(items)
+
+
+SINKS.update({"vortex": write_vortex})
