@@ -8,11 +8,17 @@ parallelism levels on identical input:
 
   local[4]  (N cores)   and   local[16]  (4N cores)
 
+Each leg runs in its OWN subprocess pinned via sched_setaffinity to
+exactly its core count (run_leg) — the sandbox stand-in for a
+cgroup-confined cluster executor: local[N] bounds task slots, not JVM
+service threads, so an unpinned N leg consumed >N box cores and its
+inflated throughput understated the honest ratio.
+
 scaling_efficiency = (thr_4N / thr_N) / 4 — the sandbox evidence for
 the north rule's N→4N ≥ 0.8 requirement. The round size is the point:
-at 1M URLs/round the engine's fixed per-round driver latency (~6-9 s
+at 2M URLs/round the engine's fixed per-round driver latency (~6-9 s
 at 16 cores: dequeue + seq-assign + sync-commit job launches, measured
-flat in frontier size) amortizes to <3% of the round, so the measured
+flat in frontier size) amortizes to <2% of the round, so the measured
 efficiency is the PARSE-STAGE scaling — the number that transfers to a
 real cluster where rounds are this size or larger. The 4↔16 pair is
 used (rather than 8↔32) because the shared 32-vCPU box itself only
@@ -47,7 +53,7 @@ import os
 import shutil
 import sys
 import tempfile
-from time import perf_counter
+from time import perf_counter, perf_counter_ns
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
@@ -73,12 +79,15 @@ os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(BENCH_TMP, "local"))
 os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
 
 # crawl workload: pre-populated frontier (seeds) over a synthetic web.
-# ONE 10^6-URL round per leg — the amortized-round regime the north
-# rule's scaling target describes (see module docstring).
-N_PAGES = 40_000 if QUICK else 1_300_000
+# ONE 2x10^6-URL round per leg — the amortized-round regime the north
+# rule's scaling target describes (see module docstring). Round 4 grew
+# the round 1M -> 2M: the parse stage's Python cost was halved, which
+# would otherwise RAISE the fixed per-round driver latency's share and
+# understate steady-state scaling.
+N_PAGES = 40_000 if QUICK else 2_600_000
 N_HOSTS = 40
-N_SEEDS = 20_000 if QUICK else 1_200_000
-ROUND_BUDGET = 10_000 if QUICK else 1_000_000
+N_SEEDS = 20_000 if QUICK else 2_400_000
+ROUND_BUDGET = 10_000 if QUICK else 2_000_000
 MAX_ROUNDS = 1
 MIN_SPANS, SPAN_SPREAD = 60, 80  # avg ~100 spans/page
 
@@ -401,14 +410,61 @@ def frontier_flatness(cores: int) -> dict:
     return out
 
 
+def prepare_fixtures() -> None:
+    """Build the web / resolved-web / seed fixtures once, UNPINNED at
+    full width — fixture generation is outside every leg's timer and
+    must not pay a pinned leg's core budget."""
+    from silkworm_spark.plans.engine import CrawlConfig, CrawlEngine
+
+    spark = _spark(min(CPUS, 32))
+    try:
+        web = spark.read.parquet(_web_path(spark))
+        eng = CrawlEngine(
+            spark, tempfile.mkdtemp(prefix="fx_", dir=BENCH_TMP),
+            CrawlConfig(max_rounds=1, round_budget=1), web=web,
+        )
+        eng._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}_v2")
+        eng._resolved_web(eng._resolved_path)
+        _seed_path(N_SEEDS)
+    finally:
+        spark.stop()
+
+
+def run_leg(cores: int) -> dict:
+    """One headline leg in its OWN process pinned (sched_setaffinity,
+    inherited by the leg's JVM and its Python workers) to exactly
+    ``cores`` CPUs — the sandbox stand-in for a cgroup-confined cluster
+    executor. Two dishonesties this removes: (a) ``local[N]`` bounds
+    task slots, not JVM service threads, so an unpinned N leg consumed
+    >N box cores (4.17 measured in round 3) and its inflated
+    denominator understated the N→4N ratio; (b) in-process legs shared
+    one py4j JVM, so a single affinity mask could never apply per
+    width. The ratio of PINNED legs is the number that transfers to a
+    real cluster."""
+    import subprocess
+
+    out = os.path.join(
+        BENCH_TMP, f"leg_{cores}_{os.getpid()}_{perf_counter_ns()}.json"
+    )
+    cmd = [sys.executable, os.path.abspath(__file__), "--leg", str(cores), out]
+    if QUICK:
+        cmd.append("--quick")
+    subprocess.run(cmd, check=True, timeout=3000)
+    with open(out) as f:
+        res = json.load(f)
+    os.unlink(out)
+    return res
+
+
 def main() -> None:
+    prepare_fixtures()
     # interleave the two widths and keep each width's best leg: the
     # sandbox hypervisor injects multi-minute steal storms that would
     # otherwise bias whichever single leg they landed on
     legs = {SMALL_CORES: [], BIG_CORES: []}
     ceilings, bw_ceilings = [], []
     for cores in (SMALL_CORES, BIG_CORES, SMALL_CORES, BIG_CORES):
-        legs[cores].append(crawl_throughput(cores))
+        legs[cores].append(run_leg(cores))
         # box ceilings sampled between legs — same contention window
         ceilings.append(machine_ceiling())
         bw_ceilings.append(machine_bandwidth_ceiling())
@@ -420,7 +476,7 @@ def main() -> None:
     for cores in (SMALL_CORES, BIG_CORES):
         best = max(legs[cores], key=lambda r: r["steady_urls_per_sec"])
         if (best.get("cores_used") or cores) < 0.55 * cores:
-            legs[cores].append(crawl_throughput(cores))
+            legs[cores].append(run_leg(cores))
             ceilings.append(machine_ceiling())
             bw_ceilings.append(machine_bandwidth_ceiling())
     res_small = max(legs[SMALL_CORES], key=lambda r: r["steady_urls_per_sec"])
@@ -475,6 +531,7 @@ def main() -> None:
         "round_budget": ROUND_BUDGET,
         "urls_per_sec_n": res_small["steady_urls_per_sec"],
         "urls_per_sec_4n": res_big["steady_urls_per_sec"],
+        "legs_pinned_to_core_count": True,  # see run_leg: cgroup stand-in
         "scaling_efficiency_n_to_4n": round(eff_steady, 3),
         "scaling_efficiency_full_run": round(eff, 3),
         "scaling_efficiency_parse_stage": round(eff_parse, 3),
@@ -497,4 +554,14 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--leg" in sys.argv:
+        # child mode (run_leg): pin this process — and therefore the
+        # JVM + Python workers it spawns — to exactly N cores, run one
+        # headline leg, dump its result JSON
+        i = sys.argv.index("--leg")
+        leg_cores, out_path = int(sys.argv[i + 1]), sys.argv[i + 2]
+        os.sched_setaffinity(0, set(range(leg_cores)))
+        with open(out_path, "w") as f:
+            json.dump(crawl_throughput(leg_cores), f)
+    else:
+        main()
