@@ -77,6 +77,11 @@ os.makedirs(BENCH_TMP, exist_ok=True)
 # measurement exactly like checkpoint writes would
 os.environ.setdefault("SPARK_LOCAL_DIRS", os.path.join(BENCH_TMP, "local"))
 os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
+# 2M-URL rounds cache ~12 GB of uncompressed bodies + span arrays per
+# round (compression deliberately off — see session.py); the default
+# 20g heap OOMed the 16-thread leg. Legs run one at a time, so a big
+# heap costs nothing. Inherited by leg subprocesses via the env.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 # crawl workload: pre-populated frontier (seeds) over a synthetic web.
 # ONE 2x10^6-URL round per leg — the amortized-round regime the north
@@ -268,7 +273,7 @@ QUERY_NAMES = [
     "tpch_q1", "tpch_q3_topk", "tpch_q5", "tpch_q6", "dim_broadcast_join",
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
-    "embed_ivf_topk_nprobe",
+    "embed_ivf_topk_nprobe", "embed_semantic_dedup", "source_mix_weights",
     "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
     "corpus_clean_pipeline", "corpus_hash_sample",
