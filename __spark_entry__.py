@@ -711,6 +711,43 @@ WHERE a.vec_id < b.vec_id
 """)
 
 
+def _embed_semantic_dedup(spark, sf):
+    """SemDeDup-shape semantic dedup (similarity.semantic_dedup): LSH
+    near-dup pairs → connected components → keep/drop partition with
+    the min-id representative per cluster. Value-exact for the same
+    reason as embed_neardup_lsh: at the registered LSH config (2
+    planes × 12 tables, seed 7) candidate coverage is total on this
+    fixture, so the pair set equals brute force and the recursive-CTE
+    closure below reproduces the clustering exactly."""
+    from silkworm_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_tables=12
+    )
+
+
+_reg("embed_semantic_dedup", _embed_semantic_dedup, """
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM e a, e b
+  WHERE a.vec_id < b.vec_id
+    AND round(list_dot_product(a.v, b.v) /
+              (sqrt(list_dot_product(a.v, a.v)) *
+               sqrt(list_dot_product(b.v, b.v))), 4) >= 0.4),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src),
+comp AS (SELECT src AS vec_id, min(dst) AS cluster FROM reach GROUP BY src)
+SELECT e.vec_id,
+       coalesce(c.cluster, e.vec_id) AS cluster,
+       coalesce(c.cluster, e.vec_id) = e.vec_id AS keep
+FROM e LEFT JOIN comp c USING (vec_id)
+""")
+
+
 # ---- text analysis (documents table) ----
 
 def _text_token_stats(spark, sf):
@@ -1131,6 +1168,28 @@ SELECT source, lang, count(*)::BIGINT AS n_docs,
        sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY 1, 2
+""")
+
+
+def _source_mix_weights(spark, sf):
+    """Temperature-scaled (α=0.5) per-source sampling weights — the
+    data-MIXING step of a pre-training recipe
+    (corpus_pipeline.source_mix_weights). sqrt is IEEE-exact, so the
+    weight is recomputable cross-engine; round(…, 6) absorbs the
+    normalizing sum's order sensitivity over the handful of sources."""
+    from silkworm_spark.operators.corpus_pipeline import source_mix_weights
+
+    return source_mix_weights(_t(spark, sf, "documents"))
+
+
+_reg("source_mix_weights", _source_mix_weights, r"""
+WITH t AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1)
+SELECT source, n_tokens,
+       round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER (), 6) AS weight
+FROM t
 """)
 
 

@@ -150,6 +150,28 @@ def filter_corpus(
     )
 
 
+def source_mix_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Temperature-scaled sampling weights per source — the data-MIXING
+    step of a pre-training recipe (upweight small high-quality sources,
+    α=0.5 square-root scaling): w_s = √tokens_s / Σ_s √tokens_s.
+    sqrt is IEEE-exact so the weight is DuckDB-recomputable; the
+    normalizing sum runs over a handful of source rows (an
+    all-partition window on the tiny aggregate table, not on docs)."""
+    from pyspark.sql import Window
+
+    toks = (
+        docs.select("source", token_count_col(text_col).alias("_nt"))
+        .groupBy("source")
+        .agg(F.sum("_nt").alias("n_tokens"))
+    )
+    s = F.sqrt(F.col("n_tokens").cast("double"))
+    return toks.select(
+        "source",
+        "n_tokens",
+        F.round(s / F.sum(s).over(Window.partitionBy()), 6).alias("weight"),
+    )
+
+
 def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(source, language) corpus composition report: document and
     token counts plus mean document length — the mixture table a

@@ -144,6 +144,43 @@ def embedding_neardup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 2,
+    n_tables: int = 12,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shape semantic dedup (Abbas et al. 2023): embedding
+    near-dup pairs (multi-table hyperplane LSH, cosine ≥ τ) → connected
+    components → every vector labeled with its component's min id
+    (itself when unpaired) and ``keep`` = is-representative. The
+    keep/drop partition is what corpus dedup actually applies — pairs
+    alone aren't transitive.
+
+    100 TB shape: the candidate join is LSH-bucket-bounded (never
+    all-pairs) and the clustering is hash-min label propagation —
+    keyed shuffles only, O(component diameter) rounds (semantic-dup
+    clusters are shallow)."""
+    from silkworm_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(
+        embeddings, threshold, n_planes, n_tables, seed, id_col, vec_col
+    )
+    comps = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    return (
+        embeddings.select(F.col(id_col))
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("cluster"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster"))
+    )
+
+
 # ---- IVF (inverted-file) ANN: the coarse-quantizer scale path ----
 
 def ivf_centroids(

@@ -289,3 +289,40 @@ def test_pagerank_fixed_point_matches_python_recurrence(spark):
     # hubs (dst of the % 4 map) must outrank the median node
     ranks = sorted(rank.values())
     assert min(rank[h] for h in range(4)) > ranks[len(ranks) // 2]
+
+
+def test_semantic_dedup_invariants(spark):
+    """semantic_dedup's keep/drop partition must be consistent with its
+    own pair graph: exactly one representative (the min id) kept per
+    cluster, paired vectors co-clustered, unpaired vectors kept as
+    their own singleton cluster."""
+    import numpy as np
+
+    from silkworm_spark.operators.similarity import (
+        embedding_neardup_pairs, semantic_dedup,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(6, 16)
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(vid % 3 + 1):  # 1-3 near-copies of each base vector
+            v = b + rng.randn(16) * 0.01
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.95).collect()}
+    pairs = embedding_neardup_pairs(emb, threshold=0.95).collect()
+
+    assert set(out) == {r[0] for r in rows}  # total coverage incl. singletons
+    for p in pairs:  # paired vectors share a cluster
+        assert out[p["a"]]["cluster"] == out[p["b"]]["cluster"]
+    clusters: dict[int, list[int]] = {}
+    for vid_, r in out.items():
+        clusters.setdefault(r["cluster"], []).append(vid_)
+    for label, members in clusters.items():
+        assert label == min(members)  # representative = min id
+        kept = [m for m in members if out[m]["keep"]]
+        assert kept == [label]  # exactly the representative survives
