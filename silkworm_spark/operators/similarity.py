@@ -113,7 +113,17 @@ def embedding_neardup_pairs(
     recall → 1 exponentially in L while the join stays bucket-bounded).
     Precision is exact — every candidate passes the true cosine
     post-filter, so the output is always a SUBSET of the brute-force
-    pairs; only recall is approximate."""
+    pairs; only recall is approximate.
+
+    Join shape: ONLY ids ride the bucket join and the cross-table
+    pair dedup — vectors rejoin by id afterwards, and each vector's
+    norm is folded once per side (not once per pair). Candidates
+    outnumber vectors by orders of magnitude, so shuffling arrays
+    through the candidate stage is the thing that must never happen
+    at 10^10 scale (it was also the sandbox's 95-second hot spot).
+    The cosine expression is unchanged — dot-fold / (norm-fold ·
+    norm-fold) — so every value is bit-identical to the brute-force
+    oracle's."""
     first = embeddings.select(F.col(vec_col)).first()
     dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
@@ -125,20 +135,25 @@ def embedding_neardup_pairs(
         )
         for t in range(n_tables)
     ])
-    e = embeddings.select(
-        F.col(id_col), F.col(vec_col), F.explode(buckets).alias("bucket")
-    )
-    a = e.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"), "bucket")
-    b = e.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"), "bucket")
+    e = embeddings.select(F.col(id_col), F.explode(buckets).alias("bucket"))
     cand = (
-        a.join(b, "bucket")
+        e.select(F.col(id_col).alias("a"), "bucket")
+        .join(e.select(F.col(id_col).alias("b"), "bucket"), "bucket")
         .filter(F.col("a") < F.col("b"))
-        .select("a", "va", "b", "vb")
+        .select("a", "b")
         .distinct()
     )
-    cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))
+    ev = embeddings.select(
+        F.col(id_col), v.alias("_v"), _norm(v).alias("_n")
+    )
+    pairs = cand.join(
+        ev.select(F.col(id_col).alias("a"), F.col("_v").alias("va"), F.col("_n").alias("na")), "a"
+    ).join(
+        ev.select(F.col(id_col).alias("b"), F.col("_v").alias("vb"), F.col("_n").alias("nb")), "b"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cosine", F.round(cos, 4))
+        pairs.withColumn("cosine", F.round(cos, 4))
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
