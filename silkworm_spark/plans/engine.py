@@ -50,6 +50,8 @@ that cost was the reason measured N→4N efficiency stalled at 0.565.
 
 from __future__ import annotations
 
+import os
+import shutil
 from dataclasses import dataclass, field
 from time import perf_counter
 
@@ -106,6 +108,18 @@ class CrawlConfig:
     # cumulative dequeues — resume-exact via the manifest counter)
     max_pages: int | None = None
     html_max_bytes: int = 5_000_000  # parse cap (reference engine.py:37)
+    # batch size at which the round's parse output is materialized to
+    # compressed parquet in the checkpoint dir instead of the executor
+    # block-manager cache. The cache form of a multi-million-page round
+    # is ~10x the compressed size (uncompressed columnar + spans/links
+    # duplication) and every consumer (dedup's child explode, the
+    # document/item commit appends) streams ALL of it back — three
+    # full-cache scans per round of pure memory bandwidth, the one
+    # resource local[N] threads share. Parquet gives column-pruned,
+    # compressed re-reads (the child explode reads only the `children`
+    # column) and is the only form that exists at 10^10-URL scale,
+    # where a round's parse output cannot live in executor memory.
+    parse_spill_rows: int = 300_000
     horizon_factor: int = 4  # dequeue scans ~factor*budget seqs (see scheduler)
     fetch_broadcast_max_rows: int = 2_000_000  # gate on the batch-side broadcast
     # seen-set size up to which dedup uses a map-side broadcast
@@ -473,7 +487,17 @@ class CrawlEngine:
             parse_in = parse_src.filter(parseable)
             if self.fetch_mode != "offline":
                 parse_in = parse_in.repartition(nparts, "part")
-            parse_out = run_parse_stage(parse_in).cache()
+            # small rounds: block-manager cache (no per-round file I/O);
+            # big rounds: spill to compressed parquet (see parse_spill_rows)
+            spill_parse = n_batch >= cfg.parse_spill_rows
+            parse_out = run_parse_stage(parse_in)
+            parse_scratch = None
+            if spill_parse:
+                parse_scratch = os.path.join(
+                    self.ckpt.root, f"_parse_scratch_{round_no}"
+                )
+            else:
+                parse_out = parse_out.cache()
 
             # body-free metadata twin: the retry split and metrics never
             # touch page bodies (offline: column-pruned re-join; live:
@@ -513,15 +537,44 @@ class CrawlEngine:
 
             with _cf.ThreadPoolExecutor(1) as _ex:
                 part_fut = _ex.submit(_part_rows)
-                # J2: materializes the parse cache (the python stage
-                # pipelines with the fetch join) and yields the
-                # span-item/error/json-item counts
-                pc_rows = parse_out.groupBy("out_kind").agg(
-                    F.count("*").alias("cnt"),
-                    F.sum(F.size("items")).alias("jitems"),
-                ).collect()
-                parse_counts = {r["out_kind"]: r["cnt"] for r in pc_rows}
-                n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
+                if spill_parse:
+                    # J2: ONE pass python parse → snappy parquet; the
+                    # item/error/json-item counts ride the same job as
+                    # observed metrics, so counting costs no extra scan
+                    from pyspark.sql import Observation
+
+                    _obs = Observation()
+                    (
+                        parse_out.observe(
+                            _obs,
+                            F.sum((F.col("out_kind") == "item").cast("long"))
+                            .alias("n_item"),
+                            F.sum((F.col("out_kind") == "error").cast("long"))
+                            .alias("n_error"),
+                            F.sum(F.size("items")).alias("n_jitems"),
+                        )
+                        .write.mode("overwrite").parquet(parse_scratch)
+                    )
+                    _m = _obs.get
+                    parse_counts = {
+                        "item": int(_m["n_item"] or 0),
+                        "error": int(_m["n_error"] or 0),
+                    }
+                    n_json_items = int(_m["n_jitems"] or 0)
+                    # downstream consumers re-read column-pruned: dedup's
+                    # child explode touches only `children`, the commit
+                    # appends touch spans/items — never the whole round
+                    parse_out = self.spark.read.parquet(parse_scratch)
+                else:
+                    # J2: materializes the parse cache (the python stage
+                    # pipelines with the fetch join) and yields the
+                    # span-item/error/json-item counts
+                    pc_rows = parse_out.groupBy("out_kind").agg(
+                        F.count("*").alias("cnt"),
+                        F.sum(F.size("items")).alias("jitems"),
+                    ).collect()
+                    parse_counts = {r["out_kind"]: r["cnt"] for r in pc_rows}
+                    n_json_items = int(sum(r["jitems"] or 0 for r in pc_rows))
                 tick("parse")
                 part_rows = part_fut.result()
             tick("fetch")
@@ -719,6 +772,13 @@ class CrawlEngine:
                 df.unpersist for df in (raw_fetched, fetched, parse_out, fresh)
                 if df is not None
             ]
+            if parse_scratch is not None:
+                # the write-behind commit still reads documents/items off
+                # the scratch parquet — deletion rides the same deferred
+                # release path as the cache unpersists
+                releases.append(
+                    lambda p=parse_scratch: shutil.rmtree(p, ignore_errors=True)
+                )
             if getattr(deduped, "_dedup_cache", None) is not None:
                 releases.append(deduped._dedup_cache.unpersist)
             releases.append(dq.release)
