@@ -712,25 +712,40 @@ WHERE a.vec_id < b.vec_id
 
 
 def _embed_semantic_dedup(spark, sf):
-    """SemDeDup-shape semantic dedup (similarity.semantic_dedup): LSH
-    near-dup pairs → connected components → keep/drop partition with
-    the min-id representative per cluster. Value-exact for the same
-    reason as embed_neardup_lsh: at the registered LSH config (2
-    planes × 12 tables, seed 7) candidate coverage is total on this
-    fixture, so the pair set equals brute force and the recursive-CTE
-    closure below reproduces the clustering exactly."""
-    from silkworm_spark.operators.similarity import semantic_dedup
+    """SemDeDup (similarity.semantic_dedup): coarse-quantizer clusters
+    bound the candidate pairs (the paper's Σ n_c² shape — never
+    all-pairs), exact-cosine rerank, connected components, min-id
+    representative keep/drop. Value-exact oracle for the same reason
+    as embed_ivf_topk_nprobe: the quantizer is the deterministic
+    prefix-centroid set (first 8 vectors, unit-normalized, 6-dp), so
+    DuckDB recomputes assignment, the within-cluster pair set, and the
+    recursive-CTE closure bit-for-bit. The learned-quantizer path
+    (ivf_centroids default) stays covered by
+    tests/test_corpus_round3.py::test_semantic_dedup_invariants."""
+    from silkworm_spark.operators.similarity import prefix_centroids, semantic_dedup
 
-    return semantic_dedup(
-        _t(spark, sf, "embeddings"), threshold=0.4, n_planes=2, n_tables=12
-    )
+    emb = _t(spark, sf, "embeddings")
+    cents = prefix_centroids(emb, n_clusters=8)
+    return semantic_dedup(emb, threshold=0.4, centroids=cents)
 
 
 _reg("embed_semantic_dedup", _embed_semantic_dedup, """
 WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         list_transform(v, x -> round(x / sqrt(list_dot_product(v, v)), 6)) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+),
+assign AS (
+  SELECT vec_id, v, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY list_dot_product(v, cv) DESC, cid) AS rn
+  FROM e CROSS JOIN cents
+),
+m AS (SELECT vec_id, v, cid FROM assign WHERE rn = 1),
 pairs AS (
   SELECT a.vec_id AS a, b.vec_id AS b
-  FROM e a, e b
+  FROM m a JOIN m b ON a.cid = b.cid
   WHERE a.vec_id < b.vec_id
     AND round(list_dot_product(a.v, b.v) /
               (sqrt(list_dot_product(a.v, a.v)) *

@@ -226,6 +226,10 @@ def crawl_throughput(cores: int) -> dict:
                         num_partitions=max(8, cores), min_rows_per_partition=16),
             web=web,
         )
+        # reuse the shared redirect-resolution fixture: without this the
+        # warmup resolves the full 2.6M-page web from scratch (~75 s and
+        # a 25 GB sort spill per leg, for a 3 k-URL warmup crawl)
+        warm._resolved_path = os.path.join(BENCH_TMP, f"resolved_{N_PAGES}_v2")
         warm.initialize(warm_seeds, None)
         warm.run()
         shutil.rmtree(warm_dir, ignore_errors=True)

@@ -143,6 +143,22 @@ def embedding_neardup_pairs(
         .select("a", "b")
         .distinct()
     )
+    return _score_pairs(cand, embeddings, threshold, id_col, vec_col)
+
+
+def _score_pairs(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-cosine rerank of an (a, b) id-pair candidate set: vectors
+    rejoin by id (ids-only candidate generation upstream), each side's
+    norm folded once per vector, cosine = dot / (na·nb) rounded to 4dp
+    and thresholded. Output ⊆ brute-force pairs for any candidate set —
+    precision is structural, only recall depends on the generator."""
+    v = F.col(vec_col).cast("array<double>")
     ev = embeddings.select(
         F.col(id_col), v.alias("_v"), _norm(v).alias("_n")
     )
@@ -162,28 +178,47 @@ def embedding_neardup_pairs(
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.4,
-    n_planes: int = 2,
-    n_tables: int = 12,
-    seed: int = 7,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """SemDeDup-shape semantic dedup (Abbas et al. 2023): embedding
-    near-dup pairs (multi-table hyperplane LSH, cosine ≥ τ) → connected
-    components → every vector labeled with its component's min id
-    (itself when unpaired) and ``keep`` = is-representative. The
-    keep/drop partition is what corpus dedup actually applies — pairs
-    alone aren't transitive.
+    """Semantic dedup in the SemDeDup shape (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-quantize the embeddings with k-means
+    (``ivf_centroids`` by default; pass ``centroids`` to reuse a
+    trained/SQL-recomputable quantizer such as ``prefix_centroids``),
+    generate candidate pairs WITHIN a cluster only — the paper's
+    approximation, which bounds pair volume to Σ n_c² instead of n² —
+    exact-cosine rerank (≥ τ), connected components, and every vector
+    labeled with its component's min id (itself when unpaired) plus
+    ``keep`` = is-representative. The keep/drop partition is what
+    corpus dedup actually applies — pairs alone aren't transitive.
 
-    100 TB shape: the candidate join is LSH-bucket-bounded (never
-    all-pairs) and the clustering is hash-min label propagation —
-    keyed shuffles only, O(component diameter) rounds (semantic-dup
-    clusters are shallow)."""
+    100 TB shape: quantizer training is a bounded driver sample
+    (``ivf_centroids``); assignment is a pure column expression over
+    the full table; the candidate join is cluster-keyed (one shuffle,
+    never all-pairs, per-key fan-out n_c² with n_c ≈ n/k); clustering
+    is hash-min label propagation — keyed shuffles only, O(component
+    diameter) rounds (semantic-dup clusters are shallow). Cross-cluster
+    duplicates are missed by construction — the paper's documented
+    recall trade; raise ``n_clusters`` resolution or re-run on cluster
+    representatives to tighten it."""
     from silkworm_spark.operators.graph import connected_components
 
-    pairs = embedding_neardup_pairs(
-        embeddings, threshold, n_planes, n_tables, seed, id_col, vec_col
+    if centroids is None:
+        centroids = ivf_centroids(
+            embeddings, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col
+        )
+    ids = ivf_assign(embeddings, centroids, vec_col).select(
+        F.col(id_col), F.col("cluster").alias("_sd_c")
     )
+    cand = (
+        ids.select(F.col(id_col).alias("a"), "_sd_c")
+        .join(ids.select(F.col(id_col).alias("b"), "_sd_c"), "_sd_c")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    pairs = _score_pairs(cand, embeddings, threshold, id_col, vec_col)
     comps = connected_components(pairs).withColumnRenamed("doc_id", id_col)
     return (
         embeddings.select(F.col(id_col))
@@ -255,19 +290,19 @@ def prefix_centroids(
 
 def _nearest_centroid_col(vec: Column, centroids: list[list[float]]) -> Column:
     """argmax over centroid dot products, as a pure column expression
-    (centroids embedded as literals → SQL-oracle-recomputable)."""
-    norm = _norm(vec)
-    best_sim, best_idx = None, None
-    for j, cvec in enumerate(centroids):
-        lit = F.array(*[F.lit(float(v)) for v in cvec])
-        sim = _dot(vec, lit) / norm  # centroid is unit-norm already
-        if best_sim is None:
-            best_sim, best_idx = sim, F.lit(j)
-        else:
-            better = sim > best_sim
-            best_idx = F.when(better, F.lit(j)).otherwise(best_idx)
-            best_sim = F.when(better, sim).otherwise(best_sim)
-    return best_idx
+    (centroids embedded as literals → SQL-oracle-recomputable). Built
+    as one sims array + array_position(max) — NOT a folded F.when
+    chain, which embeds every previous step's expression tree into the
+    next and goes exponential in len(centroids) (8 centroids × 64-dim
+    dots took ~9 s of Catalyst planning per query before this).
+    array_position returns the FIRST maximal index, the same min-index
+    tie-break the SQL oracles' ``ORDER BY sim DESC, cid`` uses."""
+    norm = _norm(vec)  # constant per row — keeps sims == true cosines
+    sims = F.array(*[
+        _dot(vec, F.array(*[F.lit(float(v)) for v in cvec])) / norm
+        for cvec in centroids
+    ])
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
 
 
 def ivf_assign(

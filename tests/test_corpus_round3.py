@@ -294,31 +294,61 @@ def test_pagerank_fixed_point_matches_python_recurrence(spark):
 def test_semantic_dedup_invariants(spark):
     """semantic_dedup's keep/drop partition must be consistent with its
     own pair graph: exactly one representative (the min id) kept per
-    cluster, paired vectors co-clustered, unpaired vectors kept as
-    their own singleton cluster."""
+    cluster, near-dup vectors co-clustered, unpaired vectors kept as
+    their own singleton cluster. Runs the LEARNED-quantizer default
+    (ivf_centroids k-means); the prefix-quantizer path is value-oracled
+    by the embed_semantic_dedup driver query. On this fixture every
+    brute-force near-dup pair lands in one k-means cell (near-copies
+    quantize together), so the within-cluster candidate set — the
+    paper's approximation — equals brute force and the invariants are
+    checked against the EXACT pair graph, not the operator's own."""
     import numpy as np
 
     from silkworm_spark.operators.similarity import (
-        embedding_neardup_pairs, semantic_dedup,
+        ivf_assign, ivf_centroids, semantic_dedup,
     )
 
     rng = np.random.RandomState(3)
     base = rng.randn(6, 16)
     rows = []
     vid = 0
-    for b in base:
-        for _ in range(vid % 3 + 1):  # 1-3 near-copies of each base vector
-            v = b + rng.randn(16) * 0.01
-            rows.append((vid, [float(x) for x in v]))
-            vid += 1
+    # pass 0 first emits ONE copy of every base, so k-means init (the
+    # first n_clusters ids) is one per distinct base — init from two
+    # near-identical copies would split a dup group across two cells
+    for rep in range(3):
+        for bi, b in enumerate(base):
+            if rep <= bi % 3:  # 1-3 near-copies per base
+                v = b + rng.randn(16) * 0.01
+                rows.append((vid, [float(x) for x in v]))
+                vid += 1
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
-    out = {r["vec_id"]: r for r in semantic_dedup(emb, threshold=0.95).collect()}
-    pairs = embedding_neardup_pairs(emb, threshold=0.95).collect()
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(emb, threshold=0.95, n_clusters=6).collect()
+    }
+
+    # brute-force ground-truth pairs (numpy) + the operator's cell map
+    x = np.asarray([r[1] for r in rows])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    brute = [
+        (i, j)
+        for i in range(len(rows))
+        for j in range(i + 1, len(rows))
+        if round(float(sims[i, j]), 4) >= 0.95
+    ]
+    cents = ivf_centroids(emb, n_clusters=6)
+    cell = {
+        r["vec_id"]: r["cluster"] for r in ivf_assign(emb, cents).collect()
+    }
+    # fixture precondition: no true pair straddles two k-means cells,
+    # so the operator saw every brute pair as a candidate
+    assert all(cell[a] == cell[b] for a, b in brute)
 
     assert set(out) == {r[0] for r in rows}  # total coverage incl. singletons
-    for p in pairs:  # paired vectors share a cluster
-        assert out[p["a"]]["cluster"] == out[p["b"]]["cluster"]
+    for a, b in brute:  # near-dup vectors share a component label
+        assert out[a]["cluster"] == out[b]["cluster"]
     clusters: dict[int, list[int]] = {}
     for vid_, r in out.items():
         clusters.setdefault(r["cluster"], []).append(vid_)
