@@ -331,24 +331,42 @@ BROWSER_HEADER_PRESETS: dict[str, dict[str, str]] = {
 }
 
 
-def _decode_content(body: bytes, headers) -> bytes:
+# decompression output bound: without it a small hostile response (a
+# few MB of gzip compressing gigabytes of repeats) would materialize
+# its full expansion in the fetch worker before the engine's
+# html_max_size cap ever sees the decoded body. 64 MiB is far above
+# any real page and far above the 5 MB default cap, so a truncated-at-
+# bound body still lands in the engine's oversize accounting and is
+# dropped there with the normal bookkeeping.
+_MAX_DECODE_BYTES = 64 * 1024 * 1024
+
+
+def _decode_content(body: bytes, headers, max_out: int = _MAX_DECODE_BYTES) -> bytes:
     """Transparent Content-Encoding decode (gzip/deflate) — required
     once the browser presets advertise Accept-Encoding; the reference
-    gets this from rnet."""
+    gets this from rnet. Output is bounded by ``max_out`` (incremental
+    decompressobj, never a one-shot decompress of attacker-controlled
+    size)."""
     enc = (headers.get("Content-Encoding") or "").strip().lower()
     if not body or enc in ("", "identity"):
         return body
-    import gzip as _gzip
     import zlib as _zlib
+
+    def bounded(wbits: int) -> bytes:
+        d = _zlib.decompressobj(wbits)
+        out = d.decompress(body, max_out)
+        # d.unconsumed_tail non-empty → bound hit; return the truncated
+        # prefix (already > any html size cap → oversize-dropped later)
+        return out
 
     try:
         if enc == "gzip":
-            return _gzip.decompress(body)
+            return bounded(16 + _zlib.MAX_WBITS)
         if enc == "deflate":
             try:
-                return _zlib.decompress(body)
+                return bounded(_zlib.MAX_WBITS)
             except _zlib.error:  # raw-deflate servers omit the zlib wrapper
-                return _zlib.decompress(body, -_zlib.MAX_WBITS)
+                return bounded(-_zlib.MAX_WBITS)
     except Exception:
         pass  # undecodable → hand back the raw bytes with the header
     return body
@@ -454,8 +472,14 @@ def live_fetch(
         def open_keepalive(url, method, headers, data, tmo):
             """One request over a pooled per-(scheme, netloc) HTTP/1.1
             connection, redirects NOT followed → (status, headers,
-            body). A stale keep-alive socket (server closed between
-            requests) gets ONE transparent reconnect."""
+            body). ONLY a stale POOLED socket (server closed the idle
+            keep-alive connection between requests) gets ONE transparent
+            reconnect, and only for idempotent methods — retrying a
+            request that went out on a FRESH connection would re-send
+            work the server may have executed (the classic keep-alive
+            retry hazard), and it would double the connect-timeout cost
+            of every dead host; a failed non-idempotent request becomes
+            an error row for RetryMiddleware's explicit policy instead."""
             sp = urllib.parse.urlsplit(url)
             key = (sp.scheme, sp.netloc)
             path = (sp.path or "/") + (f"?{sp.query}" if sp.query else "")
@@ -464,6 +488,7 @@ def live_fetch(
                 conns = tls.conns = {}
             for attempt in (0, 1):
                 conn = conns.get(key)
+                pooled = conn is not None and conn.sock is not None
                 if conn is None:
                     cls = (http.client.HTTPSConnection if sp.scheme == "https"
                            else http.client.HTTPConnection)
@@ -477,7 +502,9 @@ def live_fetch(
                 except (http.client.HTTPException, OSError):
                     conn.close()
                     conns.pop(key, None)
-                    if attempt:
+                    if attempt or not pooled or method not in (
+                        "GET", "HEAD", "OPTIONS", "TRACE"
+                    ):
                         raise
                     continue  # reconnect once on a stale pooled socket
                 if resp.will_close:

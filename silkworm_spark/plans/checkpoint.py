@@ -188,7 +188,15 @@ class CrawlCheckpoint:
         in (shard, bits) parquet parts; nothing loads driver-side). A
         pre-table checkpoint (single npz blob) is migrated once into
         part form — skipping it would silently produce bloom false
-        negatives, i.e. re-enqueue seen URLs."""
+        negatives, i.e. re-enqueue seen URLs.
+
+        The geometry (n_shards, bits_per_shard, k) that WROTE the parts
+        is persisted in the manifest and always wins over the config
+        arguments on resume: probing existing bits with a different
+        geometry indexes past the stored arrays (larger bps) or yields
+        silent false negatives (smaller bps / different k), and a
+        changed n_shards mis-keys the probe cogroup entirely. Config
+        geometry applies only to a checkpoint with no bloom bits yet."""
         if self.manifest.get("bloom") and not self.manifest.get("bloom_parts"):
             old = ShardedBloom.load(os.path.join(self.root, self.manifest["bloom"]))
             rel = "bloom_migrated"
@@ -197,7 +205,14 @@ class CrawlCheckpoint:
             )
             self.manifest["bloom_parts"] = [rel]
             self.manifest["bloom"] = None
+            # published at the next commit; until then re-entry re-runs
+            # the (idempotent) migration and re-derives the same values
+            self.manifest["bloom_geometry"] = [old.n_shards, old.bits_per_shard, old.k]
             return BloomTable(self, old.n_shards, old.bits_per_shard, old.k)
+        geo = self.manifest.get("bloom_geometry")
+        if geo and self.manifest.get("bloom_parts"):
+            return BloomTable(self, int(geo[0]), int(geo[1]), int(geo[2]))
+        self.manifest["bloom_geometry"] = [n_shards, bits_per_shard, k]
         return BloomTable(self, n_shards, bits_per_shard, k)
 
     def commit(

@@ -70,6 +70,28 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(gz)
             return
+        if self.path == "/sneakyclose":
+            # 200 keep-alive, then close WITHOUT advertising it — the
+            # stale-pooled-socket case a keep-alive client must absorb
+            body = b"<html><body><p>sneaky</p></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            self.close_connection = True
+            return
+        if self.path == "/die":
+            # kill the connection before any status line — a FRESH-
+            # connection failure the client must NOT blindly retry
+            import socket as _socket
+
+            self.close_connection = True
+            try:
+                self.connection.shutdown(_socket.SHUT_RDWR)
+            except OSError:
+                pass
+            return
         if self.path in REDIRECTS:
             self.send_response(302)
             self.send_header("Location", REDIRECTS[self.path])
@@ -264,6 +286,37 @@ def test_live_fetch_reuses_connection_per_host(server, spark):
     out = live_fetch(batch.repartition(1), timeout_s=5).collect()
     assert sorted(r["status"] for r in out) == [200, 200, 200, 200, 200]
     assert {r["redirect_times"] for r in out} == {0, 1}
+    assert CONN_COUNT["n"] - base == 1
+
+
+def test_live_fetch_stale_pooled_socket_reconnects_once(server, spark):
+    """A pooled keep-alive socket the server closed between requests
+    (without advertising Connection: close) gets ONE transparent
+    reconnect: the 3-URL same-host sequence still returns all 200s on
+    exactly 2 TCP connections (the original + the reconnect)."""
+    from silkworm_spark.operators.fetch import live_fetch
+
+    base = CONN_COUNT["n"]
+    batch = _mk_batch(spark, server, ["/sneakyclose", "/two", "/"])
+    out = live_fetch(batch.repartition(1), timeout_s=5).collect()
+    assert sorted(r["status"] for r in out) == [200, 200, 200]
+    assert all(r["error"] is None for r in out)
+    assert CONN_COUNT["n"] - base == 2
+
+
+def test_live_fetch_fresh_connection_failure_not_retried(server, spark):
+    """A request that fails on a FRESH (non-pooled) connection must NOT
+    be transparently re-sent — the server may have executed it, and a
+    dead host would cost two full connect timeouts per URL. It becomes
+    an error row for RetryMiddleware's explicit policy; exactly one TCP
+    connection is opened."""
+    from silkworm_spark.operators.fetch import live_fetch
+
+    base = CONN_COUNT["n"]
+    batch = _mk_batch(spark, server, ["/die"])
+    out = live_fetch(batch.repartition(1), timeout_s=5).collect()
+    assert len(out) == 1
+    assert out[0]["status"] is None and out[0]["error"] is not None
     assert CONN_COUNT["n"] - base == 1
 
 

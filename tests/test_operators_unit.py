@@ -282,3 +282,50 @@ def test_bloom_table_probe_equals_driver_filter(spark):
     assert maybe == local
     assert {int(h) for h in ins[:500]} <= maybe  # no false negatives
     assert len(maybe) < len(pop)  # and the filter actually filters
+
+
+def test_bloom_geometry_pinned_on_resume(spark, tmp_path):
+    """The geometry that WROTE the checkpoint's bloom parts must win
+    over config on resume: probing existing bits with a different
+    (n_shards, bits_per_shard, k) indexes past the stored arrays or
+    yields silent false negatives, and a changed n_shards mis-keys the
+    probe cogroup."""
+    from silkworm_spark.plans.checkpoint import CrawlCheckpoint
+
+    ck = CrawlCheckpoint(spark, str(tmp_path / "ck"))
+    bt = ck.load_bloom(8, 1 << 12, 5)
+    assert (bt.n_shards, bt.bits_per_shard, bt.k) == (8, 1 << 12, 5)
+    assert ck.manifest["bloom_geometry"] == [8, 1 << 12, 5]
+
+    # once parts exist, changed config geometry must NOT reshape probes
+    ck.manifest["bloom_parts"] = ["r0/bloom"]
+    bt2 = ck.load_bloom(4096, 1 << 25, 7)
+    assert (bt2.n_shards, bt2.bits_per_shard, bt2.k) == (8, 1 << 12, 5)
+
+    # a fresh checkpoint (no parts yet) takes the config geometry
+    ck2 = CrawlCheckpoint(spark, str(tmp_path / "ck2"))
+    bt3 = ck2.load_bloom(16, 1 << 13, 3)
+    assert (bt3.n_shards, bt3.bits_per_shard, bt3.k) == (16, 1 << 13, 3)
+
+
+def test_decode_content_bounds_decompression():
+    """A gzip bomb must never materialize its full expansion in the
+    fetch worker: output is capped (truncated prefix lands in the
+    engine's oversize accounting); normal bodies roundtrip exactly."""
+    import gzip
+
+    from silkworm_spark.operators.fetch import _decode_content
+
+    page = b"<html><body><p>ok</p></body></html>"
+    hdr = {"Content-Encoding": "gzip"}
+    assert _decode_content(gzip.compress(page), hdr) == page
+
+    bomb = gzip.compress(b"\0" * (32 * 1024 * 1024))  # 32 MB of zeros
+    out = _decode_content(bomb, hdr, max_out=1 << 20)
+    assert len(out) <= 1 << 20  # bounded, not 32 MB
+
+    import zlib
+
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    deflated = raw.compress(page) + raw.flush()
+    assert _decode_content(deflated, {"Content-Encoding": "deflate"}) == page
