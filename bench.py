@@ -117,11 +117,16 @@ def _tree_cpu_seconds() -> float:
         except (OSError, IndexError):
             continue
         # utime+stime of the live process PLUS cutime+cstime (the CPU
-        # of its already-reaped children): python workers that
-        # idle-exit between the parse stage and the end-of-run sample
-        # otherwise vanish from the tree walk — one 4-core leg lost
-        # 2/3 of its measured CPU to exactly that, which made the
-        # cores_used normalization nonsense
+        # of its already-reaped children). cutime alone is NOT enough:
+        # pyspark's daemon ignores SIGCHLD, so the kernel auto-reaps
+        # exiting python workers and DISCARDS their times (they are
+        # never credited to any ancestor's cutime) — a worker that
+        # idle-exits takes its whole parse-stage CPU out of the tree
+        # walk retroactively. That is why cores_used is measured by
+        # integrating POSITIVE deltas of this total over 2 s samples
+        # (_CoreSampler) instead of one end-minus-start subtraction:
+        # an end-only 4-core leg read 1.7 "used cores" for a round a
+        # concurrent sampler proved ran saturated at 4.0
         procs[int(pid)] = (
             int(rest[1]),
             (int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14])) / tick,
@@ -138,6 +143,47 @@ def _tree_cpu_seconds() -> float:
         total += procs.get(p, (0, 0.0))[1]
         stack.extend(children.get(p, []))
     return total
+
+
+class _CoreSampler:
+    """Samples the process tree's cumulative CPU every 2 s and reports
+    granted cores over a window as the integral of POSITIVE deltas
+    (CPU-time can only physically increase; a negative step is the
+    kernel discarding an auto-reaped worker's times — see
+    _tree_cpu_seconds). A window's cores = clamped-delta mass
+    overlapping it / window length."""
+
+    def __init__(self) -> None:
+        import threading
+
+        self._stop = threading.Event()
+        self.samples: list[tuple[float, float]] = []
+        self._t = threading.Thread(target=self._loop, daemon=True)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self.samples.append((perf_counter(), _tree_cpu_seconds()))
+            self._stop.wait(2.0)
+
+    def start(self) -> None:
+        self.samples.append((perf_counter(), _tree_cpu_seconds()))
+        self._t.start()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._t.join(timeout=10)
+        self.samples.append((perf_counter(), _tree_cpu_seconds()))
+
+    def cores(self, a: float, b: float) -> float | None:
+        if b <= a:
+            return None
+        tot = 0.0
+        for (t1, c1), (t2, c2) in zip(self.samples, self.samples[1:]):
+            if t2 <= a or t1 >= b or t2 <= t1:
+                continue
+            overlap = (min(t2, b) - max(t1, a)) / (t2 - t1)
+            tot += max(0.0, c2 - c1) * overlap
+        return round(tot / (b - a), 2)
 
 
 def _spark(cores: int):
@@ -240,11 +286,19 @@ def crawl_throughput(cores: int) -> dict:
         engine._resolved_web(engine._resolved_path)  # fixture prep, outside the timer
         engine.initialize(_read_seeds(spark, N_SEEDS), robots)
 
-        cpu0 = _tree_cpu_seconds()
+        sampler = _CoreSampler()
+        sampler.start()
         t0 = perf_counter()
         engine.run()
         dt = perf_counter() - t0
-        cores_used = round((_tree_cpu_seconds() - cpu0) / dt, 2)
+        sampler.stop()
+        cores_used = sampler.cores(t0, t0 + dt)
+        # steady-window cores: the CPU granted during the span the
+        # steady throughput metric actually times (the round loop minus
+        # the final sync commit) — gating/normalizing the steady ratio
+        # by whole-run CPU mixed in a window the metric excludes
+        steady_span = engine.stats.per_round[0]["elapsed_ms"] / 1000
+        cores_steady = sampler.cores(t0, t0 + steady_span)
         urls = engine.stats.requests_sent
         total = perf_counter() - t_all
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -264,7 +318,8 @@ def crawl_throughput(cores: int) -> dict:
             steady_urls_per_sec=round(best["batch"] / best["seconds"], 1),
             best_parse_seconds=min(r["parse_seconds"] for r in rounds),
             end_to_end_seconds=round(total, 2),
-            cores_used=cores_used,
+            cores_used=cores_steady,
+            cores_used_full_run=cores_used,
             per_round=rounds,
         )
     finally:
@@ -278,7 +333,8 @@ QUERY_NAMES = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "embed_ivf_topk_nprobe", "embed_semantic_dedup", "source_mix_weights",
-    "text_token_stats", "text_quality", "lang_id", "doc_fingerprint",
+    "text_token_stats", "text_bpe_tokens", "text_quality", "lang_id",
+    "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
     "corpus_clean_pipeline", "corpus_hash_sample",
     "text_repetition", "contamination_ngrams", "dedup_clusters",
@@ -477,14 +533,22 @@ def main() -> None:
         # box ceilings sampled between legs — same contention window
         ceilings.append(machine_ceiling())
         bw_ceilings.append(machine_bandwidth_ceiling())
-    # storm retry (bounded: one extra leg per width): cores_used is a
-    # reliable granted-cores reading now, so if even a width's BEST leg
-    # ran on < 55% of its task slots the hypervisor starved BOTH its
-    # samples and the leg measures the neighbor, not the engine — take
-    # one more sample rather than publish a corrupted ratio
-    for cores in (SMALL_CORES, BIG_CORES):
-        best = max(legs[cores], key=lambda r: r["steady_urls_per_sec"])
-        if (best.get("cores_used") or cores) < 0.55 * cores:
+    # storm retry (bounded: two extra legs per width): cores_used is
+    # the STEADY-WINDOW granted-cores reading (sampler-integrated,
+    # loss-proof — see _CoreSampler/_tree_cpu_seconds) — a leg granted
+    # < 70% of its task slots during the window the metric times is a
+    # measurement of the hypervisor, not the engine (verified
+    # directly: a 16-core leg granted 9.15/16 cores read dedup_seq
+    # 68 s where calm-box runs reproducibly read 14-15 s). Take more
+    # samples rather than publish a corrupted ratio; the cap keeps the
+    # run bounded when the storm is persistent, and every sample (kept
+    # or not) lands in BENCH_DETAIL.json with its granted-cores
+    # reading.
+    for cores in (SMALL_CORES, BIG_CORES) if not QUICK else ():
+        for _ in range(2):
+            best = max(legs[cores], key=lambda r: r["steady_urls_per_sec"])
+            if (best.get("cores_used") or cores) >= 0.70 * cores:
+                break
             legs[cores].append(run_leg(cores))
             ceilings.append(machine_ceiling())
             bw_ceilings.append(machine_bandwidth_ceiling())
