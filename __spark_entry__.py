@@ -799,6 +799,40 @@ FROM documents
 """)
 
 
+def _script_profile(spark, sf):
+    """Unicode-script composition (textstats.script_profile): explicit
+    codepoint-block classes, identical in Java regex and RE2, so the
+    counts match character-for-character; dominant = first maximal
+    ratio in block order, mirrored by the ordered CASE below."""
+    from silkworm_spark.operators.textstats import script_profile
+
+    return script_profile(_t(spark, sf, "documents"))
+
+
+_reg("script_profile", _script_profile, r"""
+WITH r AS (
+  SELECT doc_id,
+         round(length(regexp_replace(text, '[^A-Za-zÀ-ɏ]', '', 'g')) * 1.0
+               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS latin_ratio,
+         round(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
+               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS cyrillic_ratio,
+         round(length(regexp_replace(text, '[^぀-ヿ一-鿿가-힯]', '', 'g')) * 1.0
+               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS cjk_ratio,
+         round(length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) * 1.0
+               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS arabic_ratio
+  FROM documents)
+SELECT doc_id, latin_ratio, cyrillic_ratio, cjk_ratio, arabic_ratio,
+       CASE WHEN latin_ratio >= cyrillic_ratio AND latin_ratio >= cjk_ratio
+                 AND latin_ratio >= arabic_ratio AND latin_ratio > 0 THEN 'latin'
+            WHEN cyrillic_ratio >= cjk_ratio AND cyrillic_ratio >= arabic_ratio
+                 AND cyrillic_ratio > 0 THEN 'cyrillic'
+            WHEN cjk_ratio >= arabic_ratio AND cjk_ratio > 0 THEN 'cjk'
+            WHEN arabic_ratio > 0 THEN 'arabic'
+            ELSE 'other' END AS dominant_script
+FROM r
+""")
+
+
 def _text_quality(spark, sf):
     return quality_score(_t(spark, sf, "documents"))
 

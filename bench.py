@@ -334,7 +334,7 @@ QUERY_NAMES = [
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "embed_ivf_topk_nprobe", "embed_semantic_dedup", "source_mix_weights",
     "text_token_stats", "text_bpe_tokens", "text_quality", "lang_id",
-    "doc_fingerprint",
+    "script_profile", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",
     "corpus_clean_pipeline", "corpus_hash_sample",
     "text_repetition", "contamination_ngrams", "dedup_clusters",

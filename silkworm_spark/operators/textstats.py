@@ -70,6 +70,44 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Unicode script ranges by explicit codepoint BLOCKS (not \p{Script=}
+# properties, whose tables drift across Unicode versions between
+# engines) — identical semantics in Java regex and RE2, so the SQL
+# oracle recomputes the same counts. Priority order = tie-break order.
+SCRIPT_RANGES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("cjk", "぀-ヿ一-鿿가-힯"),
+    ("arabic", "؀-ۿ"),
+]
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode-script composition: the ratio of non-space
+    characters in each major script block plus the dominant script —
+    the standard cheap triage before language-specific pipelines in a
+    multilingual crawl (script ≠ language, but a CJK-dominant page
+    never goes to the Latin tokenizer). Pure codegen projections, zero
+    shuffles; dominant = first maximal ratio in SCRIPT_RANGES order
+    ('other' only when every listed script scores 0)."""
+    t = F.col(text_col)
+    nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    ratios = [
+        F.round(
+            F.length(F.regexp_replace(t, f"[^{rng}]", "")) / nonspace, 4
+        ).alias(f"{name}_ratio")
+        for name, rng in SCRIPT_RANGES
+    ]
+    out = docs.select("doc_id", *ratios)
+    arr = F.array(*[F.col(f"{n}_ratio") for n, _ in SCRIPT_RANGES])
+    name_arr = F.array(*[F.lit(n) for n, _ in SCRIPT_RANGES])
+    dominant = F.when(
+        F.array_max(arr) > 0.0,
+        name_arr.getItem(F.array_position(arr, F.array_max(arr)) - 1),
+    ).otherwise(F.lit("other"))
+    return out.withColumn("dominant_script", dominant)
+
+
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic quality features: alpha ratio, digit ratio, stopword
     ratio, length band — the usual cheap pre-filters before expensive

@@ -224,6 +224,31 @@ def test_bpe_token_stats(spark):
     assert got[2]["bpe_per_ws_token"] == round(5 / 3, 4)
 
 
+def test_script_profile(spark):
+    """Closed-form Unicode-script ratios over planted mixed-script docs;
+    dominant = first maximal block in SCRIPT_RANGES priority order,
+    'other' only when no listed script appears."""
+    from silkworm_spark.operators.textstats import script_profile
+
+    docs = _docs(spark, [
+        (1, "hello world"),        # 10 non-space latin chars
+        (2, "привет мир"),         # cyrillic
+        (3, "日本語 テスト"),        # cjk (han + katakana)
+        (4, "hi мир"),             # latin 2 / cyrillic 3 of 5 → cyrillic
+        (5, "1234 !!"),            # no listed script → other
+        (6, "ab яб"),              # 2 vs 2 tie → latin (priority order)
+    ])
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs).collect()}
+    assert got[1]["latin_ratio"] == 1.0 and got[1]["dominant_script"] == "latin"
+    assert got[2]["cyrillic_ratio"] == 1.0 and got[2]["dominant_script"] == "cyrillic"
+    assert got[3]["cjk_ratio"] == 1.0 and got[3]["dominant_script"] == "cjk"
+    assert got[4]["cyrillic_ratio"] == 0.6 and got[4]["latin_ratio"] == 0.4
+    assert got[4]["dominant_script"] == "cyrillic"
+    assert got[5]["dominant_script"] == "other" and got[5]["latin_ratio"] == 0.0
+    assert got[6]["latin_ratio"] == got[6]["cyrillic_ratio"] == 0.5
+    assert got[6]["dominant_script"] == "latin"  # tie → priority order
+
+
 def test_pii_scan_and_redact(spark):
     from silkworm_spark.operators.pii import pii_scan, redact_pii
 
