@@ -103,7 +103,7 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     name_arr = F.array(*[F.lit(n) for n, _ in SCRIPT_RANGES])
     dominant = F.when(
         F.array_max(arr) > 0.0,
-        name_arr.getItem(F.array_position(arr, F.array_max(arr)) - 1),
+        name_arr[(F.array_position(arr, F.array_max(arr)) - 1).cast("int")],
     ).otherwise(F.lit("other"))
     return out.withColumn("dominant_script", dominant)
 
