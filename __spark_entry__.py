@@ -1262,6 +1262,40 @@ FROM t
 """)
 
 
+def _token_budget_pack(spark, sf):
+    """Mixing recipe → actual epoch sample (corpus_pipeline.
+    token_budget_pack): global 12k-token budget allocated per source by
+    the √-scaled weights, filled greedily in doc_id order. Value-exact:
+    floor(6-dp weight × budget) and an integer window cumsum — every
+    intermediate recomputable in SQL."""
+    from silkworm_spark.operators.corpus_pipeline import token_budget_pack
+
+    return token_budget_pack(_t(spark, sf, "documents"), budget_tokens=12_000)
+
+
+_reg("token_budget_pack", _token_budget_pack, r"""
+WITH t AS (
+  SELECT source,
+         sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1),
+b AS (
+  SELECT source,
+         floor(round(sqrt(n_tokens::DOUBLE) / sum(sqrt(n_tokens::DOUBLE)) OVER (), 6)
+               * 12000)::BIGINT AS source_budget
+  FROM t),
+d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+'))::INT AS n_tokens,
+         sum(len(string_split_regex(trim(text), '\s+')))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+  FROM documents)
+SELECT d.doc_id, d.source, d.n_tokens, d.cum_tokens, b.source_budget
+FROM d JOIN b USING (source)
+WHERE d.cum_tokens <= b.source_budget
+""")
+
+
 def _dedup_substring(spark, sf):
     """Sliding-window exact-substring duplication (Lee et al. 2022
     style): fraction of a doc's distinct 8-gram windows that occur in

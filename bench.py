@@ -333,6 +333,7 @@ QUERY_NAMES = [
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_simhash", "embed_cosine_topk", "embed_ann_lsh", "embed_ivf_topk",
     "embed_ivf_topk_nprobe", "embed_semantic_dedup", "source_mix_weights",
+    "token_budget_pack",
     "text_token_stats", "text_bpe_tokens", "text_quality", "lang_id",
     "script_profile", "doc_fingerprint",
     "multimodal_decode", "multimodal_real_decode", "multimodal_frame_sample",

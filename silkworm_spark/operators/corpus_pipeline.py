@@ -172,6 +172,46 @@ def source_mix_weights(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_budget_pack(
+    docs: DataFrame, budget_tokens: int, text_col: str = "text"
+) -> DataFrame:
+    """Materialize a mixing recipe as an actual document selection:
+    allocate a global token budget across sources by the √-scaled mix
+    weights (source_mix_weights), then fill each source's allocation
+    deterministically in doc_id order — keep a document while the
+    running token total stays within the source's budget. This is the
+    step between "weights" and "training set": the output IS the epoch
+    sample.
+
+    Exactness: per-source budget = floor(weight × budget) with the
+    6-dp-rounded weight, and the greedy fill is a windowed cumulative
+    sum over integers — every value DuckDB recomputes bit-for-bit.
+
+    100 TB shape: weights are one hash agg over docs; the (source,
+    budget) table is tiny and broadcast into the join; the fill is ONE
+    window per source partition. The per-source sort is the real cost
+    at scale — store the corpus bucketed by source and the window
+    degenerates to a partition-local scan."""
+    from pyspark.sql import Window
+
+    budgets = source_mix_weights(docs, text_col).select(
+        "source",
+        F.floor(F.col("weight") * F.lit(float(budget_tokens))).alias("source_budget"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        docs.select("doc_id", "source", token_count_col(text_col).alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("source_budget"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens", "source_budget")
+    )
+
+
 def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-(source, language) corpus composition report: document and
     token counts plus mean document length — the mixture table a

@@ -224,6 +224,30 @@ def test_bpe_token_stats(spark):
     assert got[2]["bpe_per_ws_token"] == round(5 / 3, 4)
 
 
+def test_token_budget_pack(spark):
+    """Closed-form packing: two sources with 16 and 4 tokens → √-scaled
+    weights 2/3 and 1/3 of a 12-token budget → budgets 8 and 4; greedy
+    doc_id-order fill keeps exactly the prefix whose cumsum fits."""
+    from silkworm_spark.operators.corpus_pipeline import token_budget_pack
+
+    rows = [
+        # source a: four 4-token docs (16 tokens)
+        (1, "a", "w x y z"), (2, "a", "w x y z"),
+        (3, "a", "w x y z"), (4, "a", "w x y z"),
+        # source b: one 4-token doc (4 tokens)
+        (5, "b", "p q r s"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in token_budget_pack(docs, budget_tokens=12).collect()}
+    # weights: sqrt(16)=4, sqrt(4)=2 → a: 4/6=0.666667, b: 2/6=0.333333
+    # budgets: floor(0.666667*12)=8, floor(0.333333*12)=3 (< 4 → b empty)
+    assert set(got) == {1, 2}  # a's 2-doc prefix fills 8 of 8
+    assert got[1]["cum_tokens"] == 4 and got[2]["cum_tokens"] == 8
+    assert got[1]["source_budget"] == 8
+    assert all(r["cum_tokens"] <= r["source_budget"] for r in got.values())
+
+
 def test_script_profile(spark):
     """Closed-form Unicode-script ratios over planted mixed-script docs;
     dominant = first maximal block in SCRIPT_RANGES priority order,
