@@ -812,14 +812,14 @@ def _script_profile(spark, sf):
 _reg("script_profile", _script_profile, r"""
 WITH r AS (
   SELECT doc_id,
-         round(length(regexp_replace(text, '[^A-Za-zÀ-ɏ]', '', 'g')) * 1.0
-               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS latin_ratio,
-         round(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
-               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS cyrillic_ratio,
-         round(length(regexp_replace(text, '[^぀-ヿ一-鿿가-힯]', '', 'g')) * 1.0
-               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS cjk_ratio,
-         round(length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) * 1.0
-               / length(regexp_replace(text, '\s+', '', 'g')), 4) AS arabic_ratio
+         coalesce(round(length(regexp_replace(text, '[^A-Za-zÀ-ɏ]', '', 'g')) * 1.0
+               / nullif(length(regexp_replace(text, '\s+', '', 'g')), 0), 4), 0.0) AS latin_ratio,
+         coalesce(round(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) * 1.0
+               / nullif(length(regexp_replace(text, '\s+', '', 'g')), 0), 4), 0.0) AS cyrillic_ratio,
+         coalesce(round(length(regexp_replace(text, '[^぀-ヿ一-鿿가-힯]', '', 'g')) * 1.0
+               / nullif(length(regexp_replace(text, '\s+', '', 'g')), 0), 4), 0.0) AS cjk_ratio,
+         coalesce(round(length(regexp_replace(text, '[^؀-ۿ]', '', 'g')) * 1.0
+               / nullif(length(regexp_replace(text, '\s+', '', 'g')), 0), 4), 0.0) AS arabic_ratio
   FROM documents)
 SELECT doc_id, latin_ratio, cyrillic_ratio, cjk_ratio, arabic_ratio,
        CASE WHEN latin_ratio >= cyrillic_ratio AND latin_ratio >= cjk_ratio

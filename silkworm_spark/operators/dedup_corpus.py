@@ -88,6 +88,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     text_col: str = "text",
     max_doc_freq: int | None = None,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs (a<b) with Jaccard(shingles_a, shingles_b) ≥ τ.
 
@@ -99,7 +100,16 @@ def ngram_jaccard_pairs(
     > max_doc_freq bounds per-key fan-out to max_doc_freq², the
     standard df-cap from large-scale near-dup mining; Jaccard is then
     computed over the capped shingle sets (sizes and intersection
-    consistently). None = exact (small corpora only)."""
+    consistently). None = exact (small corpora only).
+
+    The shingle table is consumed three times (the size aggregation and
+    both sides of the equi-join) and is ~n× the corpus text — far too
+    big for the executor block-manager cache at corpus scale
+    (uncompressed columnar, the same pathology the engine's parse stage
+    had before it spilled). It is materialized ONCE to snappy parquet
+    in ``scratch_dir`` (a driver temp dir by default; pass a shared
+    filesystem path on a real cluster) and re-read compressed, which is
+    the only form that exists at 100 TB."""
     sh = shingle_hashes(docs, n, text_col)
     if max_doc_freq is not None:
         rare = (
@@ -108,7 +118,14 @@ def ngram_jaccard_pairs(
             .select("h")
         )
         sh = sh.join(rare, "h")
-    sh = sh.cache()
+    import os
+    import tempfile
+
+    if scratch_dir is None:
+        scratch_dir = tempfile.mkdtemp(prefix="silkworm_jaccard_")
+    spill = os.path.join(scratch_dir, "shingles.parquet")
+    sh.write.mode("overwrite").parquet(spill)
+    sh = docs.sparkSession.read.parquet(spill)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "h")
     b = sh.select(F.col("doc_id").alias("b"), "h")

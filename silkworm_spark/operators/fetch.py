@@ -341,6 +341,19 @@ BROWSER_HEADER_PRESETS: dict[str, dict[str, str]] = {
 _MAX_DECODE_BYTES = 64 * 1024 * 1024
 
 
+def _env_proxy_applies(scheme: str, host: str) -> bool:
+    """True when an environment proxy (http_proxy/https_proxy, minus
+    no_proxy) covers ``scheme://host`` — such requests must ride
+    urllib's ProxyHandler, not the raw keep-alive pool, or the mandated
+    proxy would be silently bypassed (the pre-pool urlopen path honored
+    getproxies(); the pool must keep honoring it)."""
+    import urllib.request
+
+    return scheme in urllib.request.getproxies() and not (
+        urllib.request.proxy_bypass(host or "")
+    )
+
+
 def _decode_content(body: bytes, headers, max_out: int = _MAX_DECODE_BYTES) -> bytes:
     """Transparent Content-Encoding decode (gzip/deflate) — required
     once the browser presets advertise Accept-Encoding; the reference
@@ -361,15 +374,27 @@ def _decode_content(body: bytes, headers, max_out: int = _MAX_DECODE_BYTES) -> b
 
     try:
         if enc == "gzip":
-            return bounded(16 + _zlib.MAX_WBITS)
-        if enc == "deflate":
+            out = bounded(16 + _zlib.MAX_WBITS)
+        elif enc == "deflate":
             try:
-                return bounded(_zlib.MAX_WBITS)
+                out = bounded(_zlib.MAX_WBITS)
             except _zlib.error:  # raw-deflate servers omit the zlib wrapper
-                return bounded(-_zlib.MAX_WBITS)
+                out = bounded(-_zlib.MAX_WBITS)
+        else:
+            return body
     except Exception:
-        pass  # undecodable → hand back the raw bytes with the header
-    return body
+        return body  # undecodable → hand back the raw bytes with the header
+    # successful decode: rewrite the headers so the stored headers
+    # describe the stored body (a persisted Content-Encoding: gzip next
+    # to a plaintext body would make any consumer re-decode garbage,
+    # and the stale Content-Length would misreport its size)
+    for k in ("Content-Encoding", "Content-Length"):
+        try:
+            del headers[k]
+        except KeyError:
+            pass
+    headers["Content-Length"] = str(len(out))
+    return out
 
 
 def live_fetch(
@@ -499,12 +524,16 @@ def live_fetch(
                     conn.request(method, path, body=data, headers=headers)
                     resp = conn.getresponse()
                     body = resp.read()
-                except (http.client.HTTPException, OSError):
+                except (http.client.HTTPException, OSError) as exc:
                     conn.close()
                     conns.pop(key, None)
-                    if attempt or not pooled or method not in (
-                        "GET", "HEAD", "OPTIONS", "TRACE"
-                    ):
+                    # a read timeout is a slow-but-alive host, not a
+                    # stale socket: transparently re-sending would
+                    # double the effective timeout AND re-issue a GET
+                    # the server may still be processing
+                    if attempt or not pooled or isinstance(
+                        exc, TimeoutError
+                    ) or method not in ("GET", "HEAD", "OPTIONS", "TRACE"):
                         raise
                     continue  # reconnect once on a stale pooled socket
                 if resp.will_close:
@@ -514,18 +543,26 @@ def live_fetch(
 
         def open_once(url, method, headers, data, proxy, tmo):
             """One request, redirects NOT followed → (status, headers,
-            body). Direct requests ride the keep-alive pool; proxied
-            requests go through urllib's ProxyHandler (fresh opener —
-            proxy tunneling isn't pooled)."""
+            body). Direct requests ride the keep-alive pool UNLESS an
+            environment proxy (http_proxy/https_proxy, minus no_proxy)
+            applies to the URL — those requests must go through
+            urllib's ProxyHandler like explicitly-proxied ones (the
+            raw http.client pool would silently bypass a mandated
+            proxy). Proxied requests use a fresh opener — proxy
+            tunneling isn't pooled."""
             if not proxy:
-                return open_keepalive(url, method, headers, data, tmo)
+                sp = urllib.parse.urlsplit(url)
+                if not _env_proxy_applies(sp.scheme, sp.hostname or ""):
+                    return open_keepalive(url, method, headers, data, tmo)
+                handler = urllib.request.ProxyHandler()  # env-driven
+            else:
+                handler = urllib.request.ProxyHandler(
+                    {"http": proxy, "https": proxy}
+                )
             req = urllib.request.Request(
                 url, data=data, headers=headers, method=method
             )
-            opener = urllib.request.build_opener(
-                _NoRedirect(),
-                urllib.request.ProxyHandler({"http": proxy, "https": proxy}),
-            )
+            opener = urllib.request.build_opener(_NoRedirect(), handler)
             try:
                 with opener.open(req, timeout=tmo) as resp:
                     return resp.status, resp.headers, \

@@ -425,14 +425,19 @@ def write_elasticsearch(
     indexes one document per async call; the scale shape is the `_bulk`
     NDJSON API posted DISTRIBUTED — each partition batches its own rows
     straight to ES (a fan-in service), no driver funnel. Multiple hosts
-    round-robin by partition id."""
-    import json as _json
-
+    round-robin by partition id. DataFrame API throughout (SURVEY §1.2
+    "no RDDs"): the per-partition poster is a mapInPandas stage
+    yielding one count row per task, like ``write_webhook``."""
     host_list = [hosts] if isinstance(hosts, str) else list(hosts)
 
-    def post_partition(pid, it):
+    def post_batches(batches):
+        import json as _json
         import urllib.request
 
+        import pandas as _pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
         base = host_list[pid % len(host_list)].rstrip("/")
         sent = 0
         buf = []
@@ -457,19 +462,20 @@ def write_elasticsearch(
             sent += len(buf)
             buf = []
 
-        for row in it:
-            buf.append(row["j"])
-            if len(buf) >= batch_size:
-                flush()
+        for pdf in batches:
+            for j in pdf["j"]:
+                buf.append(j)
+                if len(buf) >= batch_size:
+                    flush()
         flush()
-        yield sent
+        yield _pd.DataFrame({"sent": [sent]})
 
     counts = (
         df.select(F.to_json(F.struct(*df.columns)).alias("j"))
-        .rdd.mapPartitionsWithIndex(post_partition)
+        .mapInPandas(post_batches, "sent long")
         .collect()
     )
-    return sum(counts)
+    return sum(r["sent"] for r in counts)
 
 
 def write_s3_jsonl(
@@ -1769,11 +1775,12 @@ def write_vortex(df: DataFrame, path: str, parquet_standin: bool = False) -> int
 
     items = list(_json_rows(df))
     table = pa.Table.from_pylist(items)
+    # the optional-dependency check covers ONLY the import: an
+    # ImportError raised lazily inside vortex.io.write (e.g. a missing
+    # native extension, possibly after a partial file write) must
+    # propagate, not be silently replaced by the parquet stand-in
     try:
         import vortex  # optional, as in the reference
-
-        vortex.io.write(table, str(path))
-        return len(items)
     except ImportError:
         if not parquet_standin:
             raise ImportError(
@@ -1781,6 +1788,9 @@ def write_vortex(df: DataFrame, path: str, parquet_standin: bool = False) -> int
                 "pip install vortex-data (or pass parquet_standin=True "
                 "for a labeled Parquet stand-in)"
             ) from None
+    else:
+        vortex.io.write(table, str(path))
+        return len(items)
     import pyarrow.parquet as pq
 
     pq.write_table(table, path)

@@ -92,9 +92,18 @@ def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ('other' only when every listed script scores 0)."""
     t = F.col(text_col)
     nonspace = F.length(F.regexp_replace(t, r"\s+", ""))
+    # nullif-guard the denominator: 0/0 is NaN, and Spark sorts NaN
+    # ABOVE every double, so a whitespace-only doc would win the
+    # array_max > 0 test and be mislabeled 'latin' instead of 'other'
+    # (and diverge from the SQL oracle's NULL-on-zero division)
+    safe_nonspace = F.nullif(nonspace, F.lit(0))
     ratios = [
-        F.round(
-            F.length(F.regexp_replace(t, f"[^{rng}]", "")) / nonspace, 4
+        F.coalesce(
+            F.round(
+                F.length(F.regexp_replace(t, f"[^{rng}]", "")) / safe_nonspace,
+                4,
+            ),
+            F.lit(0.0),
         ).alias(f"{name}_ratio")
         for name, rng in SCRIPT_RANGES
     ]

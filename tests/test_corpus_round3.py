@@ -273,6 +273,22 @@ def test_script_profile(spark):
     assert got[6]["dominant_script"] == "latin"  # tie → priority order
 
 
+def test_script_profile_whitespace_only_doc(spark):
+    """A whitespace-only (or empty) document has zero non-space chars:
+    without a denominator guard 0/0 is NaN, and Spark sorts NaN above
+    every double, so array_max(NaN...) > 0 held and the doc was
+    mislabeled 'latin'. Must be all-zero ratios and 'other'."""
+    from silkworm_spark.operators.textstats import script_profile
+
+    docs = _docs(spark, [(1, "   \t\n  "), (2, ""), (3, "ok")])
+    got = {r["doc_id"]: r.asDict() for r in script_profile(docs).collect()}
+    for d in (1, 2):
+        assert got[d]["dominant_script"] == "other"
+        for name in ("latin", "cyrillic", "cjk", "arabic"):
+            assert got[d][f"{name}_ratio"] == 0.0
+    assert got[3]["dominant_script"] == "latin"
+
+
 def test_pii_scan_and_redact(spark):
     from silkworm_spark.operators.pii import pii_scan, redact_pii
 

@@ -70,6 +70,23 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             self.wfile.write(gz)
             return
+        if self.path == "/slow":
+            # respond slower than the client's read timeout: a slow-
+            # but-ALIVE host on a pooled connection (nothing stale)
+            from time import sleep
+
+            sleep(1.5)
+            body = b"<html><body><p>slow</p></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            try:
+                self.wfile.write(body)
+            except OSError:
+                pass  # client already gave up
+            self.close_connection = True
+            return
         if self.path == "/sneakyclose":
             # 200 keep-alive, then close WITHOUT advertising it — the
             # stale-pooled-socket case a keep-alive client must absorb
@@ -336,3 +353,70 @@ def test_live_fetch_browser_preset_headers_and_gzip(server, spark):
     assert b"gzip body ok" in out["body"]  # decoded, not gzip bytes
     assert out["resp_headers"]["x-echo-ua"] == preset["User-Agent"]
     assert out["resp_headers"]["x-echo-accept"] == preset["Accept"]
+    # stored headers must describe the STORED (decoded) body: the
+    # Content-Encoding is gone and Content-Length is the decoded size
+    assert "content-encoding" not in out["resp_headers"]
+    assert int(out["resp_headers"]["content-length"]) == len(out["body"])
+
+
+def test_live_fetch_read_timeout_not_transparently_retried(server, spark):
+    """A read TIMEOUT on a pooled connection is a slow-but-alive host,
+    not a stale socket: the client must NOT transparently reconnect and
+    re-send (that would double the effective timeout and re-issue a GET
+    the server is still processing). The server must see exactly ONE
+    request to /slow on exactly one TCP connection."""
+    from pyspark.sql import functions as F
+
+    from silkworm_spark.operators.fetch import live_fetch
+
+    base = CONN_COUNT["n"]
+    with HITS_LOCK:
+        HITS.pop("/slow", None)
+    batch = _mk_batch(spark, server, ["/", "/slow"]).withColumn(
+        "timeout",
+        F.when(F.col("url").endswith("/slow"), F.lit(0.6)).otherwise(F.lit(5.0)),
+    )
+    out = {r["url"]: r for r in live_fetch(batch.repartition(1), timeout_s=5).collect()}
+    assert out[f"{server}/"]["status"] == 200
+    slow = out[f"{server}/slow"]
+    assert slow["status"] is None and slow["error"] is not None
+    with HITS_LOCK:
+        assert len(HITS.get("/slow", [])) == 1  # no transparent re-send
+    assert CONN_COUNT["n"] - base == 1  # no reconnect either
+
+
+def test_decode_content_rewrites_headers():
+    """_decode_content must leave headers describing the stored body:
+    on a successful decode Content-Encoding is removed and
+    Content-Length rewritten; on an undecodable body both survive
+    untouched alongside the raw bytes."""
+    import gzip as _gzip
+
+    from silkworm_spark.operators.fetch import _decode_content
+
+    raw = b"<html>" + b"x" * 100 + b"</html>"
+    gz = _gzip.compress(raw)
+    h = {"Content-Encoding": "gzip", "Content-Length": str(len(gz))}
+    assert _decode_content(gz, h) == raw
+    assert "Content-Encoding" not in h
+    assert h["Content-Length"] == str(len(raw))
+
+    h2 = {"Content-Encoding": "gzip", "Content-Length": "5"}
+    assert _decode_content(b"nope!", h2) == b"nope!"
+    assert h2 == {"Content-Encoding": "gzip", "Content-Length": "5"}
+
+
+def test_env_proxy_applies(monkeypatch):
+    """Environment proxies must route requests off the raw keep-alive
+    pool (which would bypass them) — scheme-matched, no_proxy-aware."""
+    from silkworm_spark.operators.fetch import _env_proxy_applies
+
+    for var in ("http_proxy", "https_proxy", "no_proxy",
+                "HTTP_PROXY", "HTTPS_PROXY", "NO_PROXY"):
+        monkeypatch.delenv(var, raising=False)
+    assert not _env_proxy_applies("http", "example.com")
+    monkeypatch.setenv("http_proxy", "http://proxy.internal:3128")
+    assert _env_proxy_applies("http", "example.com")
+    assert not _env_proxy_applies("https", "example.com")  # scheme-matched
+    monkeypatch.setenv("no_proxy", "example.com")
+    assert not _env_proxy_applies("http", "example.com")  # no_proxy wins
