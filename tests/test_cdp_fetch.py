@@ -200,6 +200,20 @@ def test_cdp_client_fetch(cdp_endpoint):
         client.close()
 
 
+def test_fetch_html_cdp_one_off(cdp_endpoint):
+    """The driver-side rendered-DOM one-off (reference api.py:41-91):
+    connect → navigate → rendered outerHTML → (text, Document), target
+    closed afterwards. Sits beside test_fetch_html_one_off the same way
+    the reference pairs fetch_html / fetch_html_cdp."""
+    from silkworm_spark.api import fetch_html_cdp
+
+    text, doc = fetch_html_cdp(
+        "http://cdp.test/", ws_endpoint=cdp_endpoint, timeout=5.0
+    )
+    assert "rendered root" in text
+    assert doc.select_first("title").text == "cdp root"
+
+
 def test_cdp_fetch_stage(cdp_endpoint, spark):
     from pyspark.sql import functions as F
 
