@@ -524,37 +524,72 @@ def run_leg(cores: int) -> dict:
 
 def main() -> None:
     prepare_fixtures()
-    # interleave the two widths and keep each width's best leg: the
-    # sandbox hypervisor injects multi-minute steal storms that would
-    # otherwise bias whichever single leg they landed on
+    # PAIRED legs: each iteration runs one small and one big leg
+    # back-to-back (adjacent contention windows) with the box ceilings
+    # sampled right after each. The r4 lesson: selecting each width's
+    # best leg ACROSS windows mixes windows — a turbo/cache-favored 4c
+    # leg from one window against a 16c leg from another shipped a
+    # 0.737 ratio while clean same-window runs at the same HEAD read
+    # 0.820/0.843 (BASELINE.md). The headline ratio must come from ONE
+    # window.
     legs = {SMALL_CORES: [], BIG_CORES: []}
+    pairs: list[dict] = []
     ceilings, bw_ceilings = [], []
-    for cores in (SMALL_CORES, BIG_CORES, SMALL_CORES, BIG_CORES):
-        legs[cores].append(run_leg(cores))
-        # box ceilings sampled between legs — same contention window
-        ceilings.append(machine_ceiling())
-        bw_ceilings.append(machine_bandwidth_ceiling())
-    # storm retry (bounded: two extra legs per width): cores_used is
-    # the STEADY-WINDOW granted-cores reading (sampler-integrated,
-    # loss-proof — see _CoreSampler/_tree_cpu_seconds) — a leg granted
-    # < 70% of its task slots during the window the metric times is a
-    # measurement of the hypervisor, not the engine (verified
-    # directly: a 16-core leg granted 9.15/16 cores read dedup_seq
-    # 68 s where calm-box runs reproducibly read 14-15 s). Take more
-    # samples rather than publish a corrupted ratio; the cap keeps the
-    # run bounded when the storm is persistent, and every sample (kept
-    # or not) lands in BENCH_DETAIL.json with its granted-cores
-    # reading.
-    for cores in (SMALL_CORES, BIG_CORES) if not QUICK else ():
+
+    def run_pair() -> dict:
+        p: dict = {"ceilings": [], "bw": []}
+        for cores in (SMALL_CORES, BIG_CORES):
+            leg = run_leg(cores)
+            legs[cores].append(leg)
+            p["small" if cores == SMALL_CORES else "big"] = leg
+            # box ceilings sampled between legs — same contention window
+            c, bw = machine_ceiling(), machine_bandwidth_ceiling()
+            p["ceilings"].append(c)
+            p["bw"].append(bw)
+            ceilings.append(c)
+            bw_ceilings.append(bw)
+        return p
+
+    def clean(p: dict) -> bool:
+        """A pair whose window the hypervisor left alone: BOTH legs
+        were granted ≥85% of their task slots during the steady span
+        (sampler-integrated granted cores — a 16c leg granted 9.15/16
+        read dedup_seq 68 s where calm runs read 14-15 s) and the
+        concurrently-sampled box ceiling reached ≥0.9 (a shared-box
+        python-scaling probe; storms drag it to 0.3-0.7)."""
+        ok_small = (p["small"].get("cores_used") or 0) >= 0.85 * SMALL_CORES
+        ok_big = (p["big"].get("cores_used") or 0) >= 0.85 * BIG_CORES
+        return ok_small and ok_big and max(p["ceilings"]) >= 0.90
+
+    pairs.append(run_pair())
+    if not QUICK:
+        pairs.append(run_pair())
+        # storm retry (bounded: two extra pairs): keep sampling until a
+        # clean-window pair exists rather than publish a corrupted
+        # ratio; every sample (kept or not) lands in BENCH_DETAIL.json
+        # with its granted-cores and ceiling readings.
         for _ in range(2):
-            best = max(legs[cores], key=lambda r: r["steady_urls_per_sec"])
-            if (best.get("cores_used") or cores) >= 0.70 * cores:
+            if any(clean(p) for p in pairs):
                 break
-            legs[cores].append(run_leg(cores))
-            ceilings.append(machine_ceiling())
-            bw_ceilings.append(machine_bandwidth_ceiling())
-    res_small = max(legs[SMALL_CORES], key=lambda r: r["steady_urls_per_sec"])
-    res_big = max(legs[BIG_CORES], key=lambda r: r["steady_urls_per_sec"])
+            pairs.append(run_pair())
+    clean_pairs = [p for p in pairs if clean(p)]
+    headline_clean = bool(clean_pairs)
+    if clean_pairs:
+        # among clean windows: the pair with the best big-leg
+        # throughput (the headline value); its SAME-WINDOW small leg
+        # sets the ratio — never a small leg from another window
+        chosen = max(clean_pairs, key=lambda p: p["big"]["steady_urls_per_sec"])
+    else:
+        # no calm window materialized within the retry budget: ship the
+        # least-stormy pair and say so (headline_window_clean: false)
+        chosen = max(
+            pairs,
+            key=lambda p: min(
+                (p["small"].get("cores_used") or 0) / SMALL_CORES,
+                (p["big"].get("cores_used") or 0) / BIG_CORES,
+            ),
+        )
+    res_small, res_big = chosen["small"], chosen["big"]
     ceiling = max(ceilings)
     bw_ceiling = max(bw_ceilings)
     factor = BIG_CORES / SMALL_CORES
@@ -587,6 +622,17 @@ def main() -> None:
         f"local[{BIG_CORES}]": res_big,
         f"all_legs_local[{SMALL_CORES}]": legs[SMALL_CORES],
         f"all_legs_local[{BIG_CORES}]": legs[BIG_CORES],
+        "pair_windows": [
+            {
+                "clean": clean(p),
+                "ceilings": p["ceilings"],
+                "small_cores_used": p["small"].get("cores_used"),
+                "big_cores_used": p["big"].get("cores_used"),
+                "small_urls_per_sec": p["small"]["steady_urls_per_sec"],
+                "big_urls_per_sec": p["big"]["steady_urls_per_sec"],
+            }
+            for p in pairs
+        ],
         "machine_ceiling_samples": ceilings,
         "machine_bandwidth_ceiling_samples": bw_ceilings,
         "frontier_flatness": flat,
@@ -606,6 +652,9 @@ def main() -> None:
         "urls_per_sec_n": res_small["steady_urls_per_sec"],
         "urls_per_sec_4n": res_big["steady_urls_per_sec"],
         "legs_pinned_to_core_count": True,  # see run_leg: cgroup stand-in
+        # True: both headline legs come from ONE hypervisor-calm window
+        # (granted-cores ≥85% of slots on both legs, box ceiling ≥0.9)
+        "headline_window_clean": headline_clean,
         "scaling_efficiency_n_to_4n": round(eff_steady, 3),
         "scaling_efficiency_full_run": round(eff, 3),
         "scaling_efficiency_parse_stage": round(eff_parse, 3),

@@ -127,9 +127,10 @@ class PendingCommit:
         bloom_rel = None
         try:
             for f in self.sink_futures:
-                name, rel = f.result()
-                if rel is not None:
-                    self.new_manifest["tables"].setdefault(name, []).append(rel)
+                res = f.result()  # one (name, rel) or a packed list of them
+                for name, rel in (res if isinstance(res, list) else [res]):
+                    if rel is not None:
+                        self.new_manifest["tables"].setdefault(name, []).append(rel)
             if self.bloom_future is not None:
                 bloom_rel = self.bloom_future.result()
         finally:
@@ -238,15 +239,17 @@ class CrawlCheckpoint:
         ``async_sinks`` names append tables whose writes may OVERLAP the
         next round's compute: the commit returns a ``PendingCommit``
         instead of publishing the manifest; the caller must
-        ``finalize()`` it before anything depends on the sink data or
-        the shared bloom bits (the engine does so before the next
-        round's dedup). Frontier-critical tables (frontier_delta,
-        consumed, seen, host_state) always write synchronously and land
-        in the in-memory manifest immediately, so the next round's
-        reads see them; the on-disk manifest simply lags one round — a
-        crash in the window replays the whole round deterministically
-        from the previous manifest (same exact-resume contract,
-        write-behind).
+        ``finalize()`` it before anything reads those tables THROUGH
+        THE CHECKPOINT or depends on the shared bloom bits (the engine
+        does so before the next round's dedup — so `seen` may be
+        deferred freely, and `frontier_delta`/`consumed` may be
+        deferred as long as the next DEQUEUE patches its frontier read
+        with the same data held as in-memory DataFrames; see
+        engine.run). Tables not named (the `host_state` snapshot) write
+        synchronously and land in the in-memory manifest immediately.
+        The on-disk manifest lags one round either way — a crash in the
+        window replays the whole round deterministically from the
+        previous manifest (same exact-resume contract, write-behind).
 
         ``known_counts`` lets the engine skip empty-table writes without
         the per-table ``isEmpty()`` job round 1 paid (6 driver jobs per
@@ -278,7 +281,9 @@ class CrawlCheckpoint:
             df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
             return name, rel
 
-        def write_packed(tables: dict[str, DataFrame]) -> list[tuple[str, str]]:
+        def write_packed(
+            tables: dict[str, DataFrame], subdir: str = "packed"
+        ) -> list[tuple[str, str]]:
             """All small append tables land in ONE write job partitioned
             by a `table` column (row-group columns = union of schemas;
             readers prune back to each table's declared schema). One
@@ -299,11 +304,16 @@ class CrawlCheckpoint:
                 part = df.select(*sel).withColumn("table", F.lit(name))
                 packed = part if packed is None else packed.unionByName(part)
             packed.write.mode("overwrite").partitionBy("table").parquet(
-                os.path.join(self.root, rdir, "packed")
+                os.path.join(self.root, rdir, subdir)
             )
             return [
-                (name, os.path.join(rdir, "packed", f"table={name}"))
+                (name, os.path.join(rdir, subdir, f"table={name}"))
                 for name in tables
+                # a table with unknown count that turned out empty
+                # produces no partition dir — don't record it
+                if os.path.isdir(
+                    os.path.join(self.root, rdir, subdir, f"table={name}")
+                )
             ]
 
         def write_snapshot(name: str, df: DataFrame) -> tuple[str, str]:
@@ -356,7 +366,14 @@ class CrawlCheckpoint:
             )
             pfut = pool.submit(write_packed, small) if small else None
             afuts = [pool.submit(write_append, n, df) for n, df in big.items()]
-            dfuts = [pool.submit(write_append, n, df) for n, df in deferred.items()]
+            # deferred small tables pack into ONE background job too
+            # (same launch-latency amortization as the sync pack);
+            # deferred big tables (documents) write individually
+            d_small = {n: df for n, df in deferred.items() if n != "documents"}
+            d_big = {n: df for n, df in deferred.items() if n == "documents"}
+            dfuts = [pool.submit(write_append, n, df) for n, df in d_big.items()]
+            if d_small:
+                dfuts.append(pool.submit(write_packed, d_small, "packed_async"))
             sfuts = [pool.submit(write_snapshot, n, df) for n, df in snapshots.items()]
             for f in afuts:
                 name, rel = f.result()
@@ -364,10 +381,7 @@ class CrawlCheckpoint:
                     new_manifest["tables"].setdefault(name, []).append(rel)
             if pfut is not None:
                 for name, rel in pfut.result():
-                    # a table with unknown count that turned out empty
-                    # produces no partition dir — don't record it
-                    if os.path.isdir(os.path.join(self.root, rel)):
-                        new_manifest["tables"].setdefault(name, []).append(rel)
+                    new_manifest["tables"].setdefault(name, []).append(rel)
             for f in sfuts:
                 name, rel = f.result()
                 new_manifest["tables"][name] = [rel]

@@ -36,11 +36,16 @@ runs exactly FIVE sequential job launches —
                            per-partition lineage + every round total)
     J4 dedup bucket count (anti-join + bloom probe + seq numbering
                            offsets in one pass)
-    commit                (frontier-critical tables sync; documents/
-                           items/fetch_log + the executor-side bloom
-                           merge WRITE-BEHIND, overlapping the next
-                           round's J1-J2 and joining before its J4 —
-                           checkpoint.PendingCommit)
+    commit                (ALL appends WRITE-BEHIND — documents/items/
+                           fetch_log AND seen/frontier_delta/consumed
+                           plus the executor-side bloom merge — over-
+                           lapping the next round's J1-J2 and joining
+                           before its J4; the next dequeue patches its
+                           merge-on-read frontier with the in-memory
+                           new-rows/consumed DataFrames while their
+                           files land. Only the tiny host_state
+                           snapshot writes sync — checkpoint.
+                           PendingCommit)
 
 No ``.collect()`` of URL hashes, no per-table ``isEmpty()`` probes, no
 standalone ``count()`` jobs, no multi-hundred-MB body caches. Round 1
@@ -309,12 +314,19 @@ class CrawlEngine:
         n_frontier: int | None = None  # tracked incrementally after round 1
         pending = None  # write-behind commit of the previous round
         held: list = []  # caches the pending writes still read
+        # (new_rows, consumed) of a deferred frontier write: until the
+        # pending commit finalizes, the manifest's frontier tables lag
+        # one round, so the next dequeue patches its merge-on-read
+        # frontier with these in-memory DataFrames (both derive from
+        # caches in `held`, released only after the join point)
+        pending_frontier = None
 
         def join_pending():
-            nonlocal pending, held
+            nonlocal pending, held, pending_frontier
             if pending is not None:
                 pending.finalize()
                 pending = None
+            pending_frontier = None
             for h in held:
                 h()
             held = []
@@ -322,6 +334,17 @@ class CrawlEngine:
         # crawl continues to the same global bound (exact-resume contract)
         while round_no < cfg.max_rounds:
             frontier = self.ckpt.read_frontier()
+            if pending_frontier is not None:
+                # previous round's frontier writes are still in flight:
+                # the manifest read above lacks that round's enqueues
+                # and consumptions, so patch them in from the held
+                # in-memory DataFrames. The background parquet writes of
+                # the SAME data overlap this dequeue + fetch + parse and
+                # are joined before dedup (join_pending below).
+                p_new, p_consumed = pending_frontier
+                frontier = frontier.join(
+                    p_consumed, "seq", "left_anti"
+                ).unionByName(p_new)
             if n_frontier is None:
                 n_frontier = frontier.count()
             if n_frontier == 0:
@@ -651,11 +674,14 @@ class CrawlEngine:
                 retry_rows.withColumn("round_added", F.lit(round_no)).select(*_FRONTIER_COLS)
             )
 
-            # join point: the previous round's write-behind sinks and
-            # bloom merge must land before this round's dedup probes the
-            # bloom — everything up to here (dequeue, fetch, parse)
-            # overlapped with them
+            # join point: the previous round's write-behind tables
+            # (seen/frontier/sinks) and bloom merge must land before
+            # this round's dedup reads seen / probes the bloom —
+            # everything up to here (dequeue, fetch, parse) overlapped
+            # with them. commit_join measures the NOT-overlapped
+            # residue: ~0 when the round's compute covers the writes.
             join_pending()
+            tick("commit_join")
 
             seen = self.ckpt.read("seen")
             deduped = dedup_candidates(
@@ -742,11 +768,33 @@ class CrawlEngine:
                     "n_seen": (n_seen or 0) + (n_new - n_retries),
                     "n_fetched": n_fetched + n_batch,
                 },
+                # ALL appends are write-behind: documents/items/
+                # fetch_log gate nothing in the loop; `seen` gates only
+                # the next round's dedup, which sits behind the join
+                # point; frontier_delta/consumed gate the next DEQUEUE,
+                # which patches its read from the in-memory DataFrames
+                # (pending_frontier) while the files land in the
+                # background. The sync tail this removes was the one
+                # anti-scaling phase left (r4: 63 s@4c → 59 s@16c).
                 async_sinks=(
-                    ("documents", "items", "fetch_log")
+                    ("documents", "items", "fetch_log",
+                     "seen", "frontier_delta", "consumed")
                     if cfg.async_commit else ()
                 ),
             )
+            if pending is not None:
+                # lineage MUST be severed here (localCheckpoint →
+                # LogicalRDD): the patched frontier otherwise embeds
+                # this round's full plan tree — which itself embeds the
+                # previous patch — so plans grow geometrically across
+                # rounds (driver OOM at ~10 rounds just STRINGIFYING
+                # the tree). Lazy: no extra job now; the RDD blocks
+                # materialize with the next dequeue's first action,
+                # reading from the still-held fresh/scored caches.
+                pending_frontier = (
+                    new_rows.localCheckpoint(eager=False),
+                    consumed.localCheckpoint(eager=False),
+                )
             tick("commit")
             vtime += cfg.round_seconds
 
