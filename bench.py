@@ -1,10 +1,10 @@
 """Benchmark harness (driver contract: prints ONE compact JSON line).
 
-Headline metric: frontier throughput in URLs/sec — ONE BIG crawl round
-(1M URLs dequeued, parsed, deduped, committed) over a deterministically
-generated synthetic web (realistically heavy pages, ~100 interleaved
-spans ≈ 6 KB HTML) with a pre-populated frontier, measured at two
-parallelism levels on identical input:
+Headline metric: frontier throughput in URLs/sec — TWO BIG crawl
+rounds (1.3M URLs each: dequeued, parsed, deduped, committed) over a
+deterministically generated synthetic web (realistically heavy pages,
+~100 interleaved spans ≈ 6 KB HTML) with a pre-populated frontier,
+measured at two parallelism levels on identical input:
 
   local[4]  (N cores)   and   local[16]  (4N cores)
 
@@ -16,11 +16,18 @@ inflated throughput understated the honest ratio.
 
 scaling_efficiency = (thr_4N / thr_N) / 4 — the sandbox evidence for
 the north rule's N→4N ≥ 0.8 requirement. The round size is the point:
-at 2M URLs/round the engine's fixed per-round driver latency (~6-9 s
-at 16 cores: dequeue + seq-assign + sync-commit job launches, measured
-flat in frontier size) amortizes to <2% of the round, so the measured
-efficiency is the PARSE-STAGE scaling — the number that transfers to a
-real cluster where rounds are this size or larger. The 4↔16 pair is
+at 1.3M URLs/round the engine's fixed per-round driver latency (~6-9 s
+at 16 cores: dequeue + seq-assign + commit-submit job launches,
+measured flat in frontier size) amortizes to <2% of the round, so the
+measured efficiency is the data-stage scaling — the number that
+transfers to a real cluster where rounds are this size or larger.
+TWO rounds (not one) so the steady number pays every per-round cost a
+continuous crawl pays: round 1's commit is written behind round 2's
+dequeue+fetch+parse (engine write-behind; the non-overlapped residue
+shows up as round 2's commit_join tick), so the steady span includes
+the full commit cost at whatever wall price the overlap leaves. Only
+the LAST round's commit — which a longer crawl would overlap with the
+next round — is excluded (steady span = run wall − final_commit_s). The 4↔16 pair is
 used (rather than 8↔32) because the shared 32-vCPU box itself only
 scales ~0.59 at 8→32 (pure-Python process-pool measurement) — the box,
 not the engine, caps the latter. The box's own 4→16 ceiling is sampled
@@ -84,16 +91,20 @@ os.makedirs(os.environ["SPARK_LOCAL_DIRS"], exist_ok=True)
 os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
 
 # crawl workload: pre-populated frontier (seeds) over a synthetic web.
-# ONE 2x10^6-URL round per leg — the amortized-round regime the north
-# rule's scaling target describes (see module docstring). Round 4 grew
-# the round 1M -> 2M: the parse stage's Python cost was halved, which
-# would otherwise RAISE the fixed per-round driver latency's share and
-# understate steady-state scaling.
+# TWO 1.3x10^6-URL rounds per leg — the amortized-round regime the
+# north rule's scaling target describes (see module docstring), with a
+# second round so the write-behind commit overlap is actually
+# exercised (a 1-round run's only commit is the final one, which the
+# steady metric excludes — it would never measure the commit at all).
+# Round 4 grew the per-leg total 1M -> 2M (now 2.6M across 2 rounds):
+# the parse stage's Python cost was halved, which would otherwise
+# RAISE the fixed per-round driver latency's share and understate
+# steady-state scaling.
 N_PAGES = 40_000 if QUICK else 2_600_000
 N_HOSTS = 40
 N_SEEDS = 20_000 if QUICK else 2_400_000
-ROUND_BUDGET = 10_000 if QUICK else 2_000_000
-MAX_ROUNDS = 1
+ROUND_BUDGET = 6_000 if QUICK else 1_300_000
+MAX_ROUNDS = 2
 MIN_SPANS, SPAN_SPREAD = 60, 80  # avg ~100 spans/page
 
 
@@ -293,11 +304,13 @@ def crawl_throughput(cores: int) -> dict:
         dt = perf_counter() - t0
         sampler.stop()
         cores_used = sampler.cores(t0, t0 + dt)
-        # steady-window cores: the CPU granted during the span the
-        # steady throughput metric actually times (the round loop minus
-        # the final sync commit) — gating/normalizing the steady ratio
-        # by whole-run CPU mixed in a window the metric excludes
-        steady_span = engine.stats.per_round[0]["elapsed_ms"] / 1000
+        # steady span = the round loop minus the LAST round's commit
+        # join — the only commit no later round can absorb (a longer
+        # crawl overlaps it with the next round's compute; round 1's
+        # commit is inside this span, written behind round 2). The
+        # cores gate/normalization samples the same window the
+        # throughput metric times.
+        steady_span = dt - engine.stats.final_commit_s
         cores_steady = sampler.cores(t0, t0 + steady_span)
         urls = engine.stats.requests_sent
         total = perf_counter() - t_all
@@ -309,13 +322,17 @@ def crawl_throughput(cores: int) -> dict:
                  timings=r["timings"])
             for r in engine.stats.per_round
         ]
-        # steady-state throughput = the best round (this sandbox's shared
-        # hypervisor injects ±30% noise into individual rounds)
-        best = min(rounds, key=lambda r: r["seconds"] / max(1, r["batch"]))
         return dict(
             urls=urls, run_seconds=round(dt, 2),
             urls_per_sec=round(urls / dt, 1),
-            steady_urls_per_sec=round(best["batch"] / best["seconds"], 1),
+            # steady-state throughput over BOTH rounds (includes round
+            # 1's overlapped commit + round 2's commit_join residue;
+            # excludes only the final commit — see steady_span above).
+            # Two 1.3M rounds also average the hypervisor's ±30%
+            # per-round noise better than r4's single best-round pick.
+            steady_urls_per_sec=round(urls / steady_span, 1),
+            steady_seconds=round(steady_span, 2),
+            final_commit_seconds=round(engine.stats.final_commit_s, 2),
             best_parse_seconds=min(r["parse_seconds"] for r in rounds),
             end_to_end_seconds=round(total, 2),
             cores_used=cores_steady,

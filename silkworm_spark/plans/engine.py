@@ -156,6 +156,11 @@ class CrawlStats:
     robots_denied: int = 0
     dropped_oversize: int = 0
     elapsed_s: float = 0.0
+    # wall time of the LAST round's write-behind commit joined after
+    # the loop exits — the only commit no subsequent round's compute
+    # can overlap. A continuous crawl (rounds ≫ 1) never pays it;
+    # bench.py subtracts it from the steady-state span for that reason.
+    final_commit_s: float = 0.0
     per_round: list = field(default_factory=list)
 
     @property
@@ -838,7 +843,9 @@ class CrawlEngine:
                 for r in releases:
                     r()
 
+        tj = perf_counter()
         join_pending()
+        self.stats.final_commit_s = perf_counter() - tj
         robots.unpersist()
         self.stats.elapsed_s = perf_counter() - t0
         return self.stats
