@@ -496,7 +496,23 @@ def frontier_flatness(cores: int) -> dict:
 def prepare_fixtures() -> None:
     """Build the web / resolved-web / seed fixtures once, UNPINNED at
     full width — fixture generation is outside every leg's timer and
-    must not pay a pinned leg's core budget."""
+    must not pay a pinned leg's core budget.
+
+    Runs in a CHILD process (``--prepare``): py4j's gateway JVM
+    outlives ``spark.stop()`` and keeps its ~50 GB heap RSS resident,
+    and a main-process fixture JVM squatting next to a leg's own 48g
+    JVM OOM-killed the first 16-core leg (125 GiB box minus ~18 GiB
+    tmpfs fixtures). A subprocess takes the JVM with it when it exits,
+    so every leg starts against an empty-JVM box."""
+    import subprocess
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--prepare"]
+    if QUICK:
+        cmd.append("--quick")
+    subprocess.run(cmd, check=True, timeout=3000)
+
+
+def _prepare_fixtures_child() -> None:
     from silkworm_spark.plans.engine import CrawlConfig, CrawlEngine
 
     spark = _spark(min(CPUS, 32))
@@ -532,7 +548,20 @@ def run_leg(cores: int) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), "--leg", str(cores), out]
     if QUICK:
         cmd.append("--quick")
-    subprocess.run(cmd, check=True, timeout=3000)
+    for attempt in (1, 2):
+        try:
+            subprocess.run(cmd, check=True, timeout=3000)
+            break
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+            # a leg's JVM can die to a transient box condition (the
+            # shared hypervisor's OOM/stall class); one fresh-process
+            # retry before failing the whole bench
+            if attempt == 2:
+                raise
+            try:
+                os.unlink(out)
+            except OSError:
+                pass
     with open(out) as f:
         res = json.load(f)
     os.unlink(out)
@@ -703,5 +732,9 @@ if __name__ == "__main__":
         os.sched_setaffinity(0, set(range(leg_cores)))
         with open(out_path, "w") as f:
             json.dump(crawl_throughput(leg_cores), f)
+    elif "--prepare" in sys.argv:
+        # child mode (prepare_fixtures): build fixtures, then exit so
+        # the fixture JVM's heap leaves the box before any leg runs
+        _prepare_fixtures_child()
     else:
         main()
