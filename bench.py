@@ -627,14 +627,28 @@ def main() -> None:
         chosen = max(clean_pairs, key=lambda p: p["big"]["steady_urls_per_sec"])
     else:
         # no calm window materialized within the retry budget: ship the
-        # least-stormy pair and say so (headline_window_clean: false)
-        chosen = max(
-            pairs,
-            key=lambda p: min(
-                (p["small"].get("cores_used") or 0) / SMALL_CORES,
-                (p["big"].get("cores_used") or 0) / BIG_CORES,
-            ),
-        )
+        # least-stormy pair and say so (headline_window_clean: false).
+        # Prefer slot-clean pairs (both legs granted >=85% of their task
+        # slots — the window's only corruption is the shared box
+        # ceiling, which drags BOTH legs); among those use the SAME
+        # criterion as the clean path (best big-leg throughput = the
+        # least-robbed 4N leg). Falling back to min granted-core
+        # fraction only when every window also lost slots.
+        slot_clean = [
+            p for p in pairs
+            if (p["small"].get("cores_used") or 0) >= 0.85 * SMALL_CORES
+            and (p["big"].get("cores_used") or 0) >= 0.85 * BIG_CORES
+        ]
+        if slot_clean:
+            chosen = max(slot_clean, key=lambda p: p["big"]["steady_urls_per_sec"])
+        else:
+            chosen = max(
+                pairs,
+                key=lambda p: min(
+                    (p["small"].get("cores_used") or 0) / SMALL_CORES,
+                    (p["big"].get("cores_used") or 0) / BIG_CORES,
+                ),
+            )
     res_small, res_big = chosen["small"], chosen["big"]
     ceiling = max(ceilings)
     bw_ceiling = max(bw_ceilings)

@@ -57,8 +57,14 @@ def build_fixture(spark, copies: int) -> str:
     )
     expr = None
     for k in range(copies):
+        # base-30 digit encoding: position i carries digit i of k, so
+        # every k < 30^5 gets a DISTINCT substitution (the old
+        # (k*7+i*11)%30 collided for k ≡ k' mod 30, which at x100 would
+        # have made copies 0/30/60/90 exact duplicates — the K² bucket
+        # blow-up the module docstring exists to avoid)
         repl = "".join(
-            CONSONANTS[(k * 7 + i * 11) % len(CONSONANTS)] for i in range(5)
+            CONSONANTS[((k // len(CONSONANTS) ** i) * 7 + i * 11) % len(CONSONANTS)]
+            for i in range(5)
         )
         t = F.translate(F.col("text"), "aeiou", repl)
         expr = t if expr is None else F.when(F.col("copy") == k, t).otherwise(expr)
@@ -97,7 +103,8 @@ def main() -> None:
     from silkworm_spark import get_spark
 
     spark = get_spark(master="local[16]")
-    dirs = {k: build_fixture(spark, k) for k in (10,)}
+    copies = [int(a) for a in sys.argv[1:] if a.isdigit()] or [10]
+    dirs = {k: build_fixture(spark, k) for k in copies}
     spark.stop()
 
     results = {}
