@@ -600,12 +600,18 @@ def main() -> None:
         """A pair whose window the hypervisor left alone: BOTH legs
         were granted ≥85% of their task slots during the steady span
         (sampler-integrated granted cores — a 16c leg granted 9.15/16
-        read dedup_seq 68 s where calm runs read 14-15 s) and the
-        concurrently-sampled box ceiling reached ≥0.9 (a shared-box
-        python-scaling probe; storms drag it to 0.3-0.7)."""
+        read dedup_seq 68 s where calm runs read 14-15 s) and EVERY
+        concurrently-sampled box ceiling — one probe lands after each
+        leg — reached ≥0.9 (a shared-box python-scaling probe; storms
+        drag it to 0.3-0.7). min, not max: a pair whose small-leg
+        probe read 0.82 (bw probe 0.21) and big-leg probe 0.93 once
+        passed the max() gate as "clean" at ratio 0.764 while the
+        adjacent all-unclean window read 0.798 with BOTH legs faster
+        — one calm sample after the big leg must not bless a storm
+        that hit the small leg."""
         ok_small = (p["small"].get("cores_used") or 0) >= 0.85 * SMALL_CORES
         ok_big = (p["big"].get("cores_used") or 0) >= 0.85 * BIG_CORES
-        return ok_small and ok_big and max(p["ceilings"]) >= 0.90
+        return ok_small and ok_big and min(p["ceilings"]) >= 0.90
 
     pairs.append(run_pair())
     if not QUICK:
