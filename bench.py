@@ -387,11 +387,36 @@ _CEIL_DOC = ("<p>" + "word " * 40 + "</p><a href='http://h/x'>l</a>"
              "<img src='/i.png'>") * 30
 
 
-def _ceiling_work(k: int) -> int:  # module-level: mp.Pool must pickle it
+def _ceiling_work(k: int) -> int:
     t = 0
     for _ in range(k):
         t += len(_CEIL_PAT.findall(_CEIL_DOC))
     return t
+
+
+def _fork_timed(work, procs: int, tasks: int, arg) -> float:
+    """Run `tasks` invocations of work(arg) spread over `procs`
+    fork-context Processes and return the wall time. fork Processes
+    inherit the target by memory, so this never pickles the worker —
+    mp.Pool's pickle-by-qualname breaks when bench.py is loaded under
+    two module identities (e.g. an ad-hoc driver script importing it
+    by path while `bench` is also in sys.modules)."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    per = [tasks // procs + (1 if i < tasks % procs else 0) for i in range(procs)]
+
+    def body(reps: int) -> None:
+        for _ in range(reps):
+            work(arg)
+
+    ps = [ctx.Process(target=body, args=(c,)) for c in per if c]
+    t0 = perf_counter()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return perf_counter() - t0
 
 
 def machine_ceiling(n: int = SMALL_CORES, n4: int = BIG_CORES) -> float:
@@ -401,20 +426,12 @@ def machine_ceiling(n: int = SMALL_CORES, n4: int = BIG_CORES) -> float:
     sandbox is a shared hypervisor whose measured ceiling swings
     between ~0.70 and ~0.90 with neighbor load. Reported alongside the
     engine number so the efficiency is interpretable."""
-    import multiprocessing as mp
-
-    def run(procs: int) -> float:
-        with mp.Pool(procs) as p:
-            t0 = perf_counter()
-            p.map(_ceiling_work, [4000] * 96)
-            return perf_counter() - t0
-
-    a = min(run(n) for _ in range(2))
-    b = min(run(n4) for _ in range(2))
+    a = min(_fork_timed(_ceiling_work, n, 96, 4000) for _ in range(2))
+    b = min(_fork_timed(_ceiling_work, n4, 96, 4000) for _ in range(2))
     return round((a / b) / (n4 / n), 3)
 
 
-def _bw_work(k: int) -> float:  # module-level: mp.Pool must pickle it
+def _bw_work(k: int) -> float:
     import numpy as np
 
     a = np.ones(32 * 1024 * 1024 // 8)  # 32 MB, far beyond L3 share
@@ -434,16 +451,8 @@ def machine_bandwidth_ceiling(n: int = SMALL_CORES, n4: int = BIG_CORES) -> floa
     node brings its own DRAM, so this ceiling is a single-box artifact
     the same way shared-disk was (which is why shuffle already lives
     on tmpfs)."""
-    import multiprocessing as mp
-
-    def run(procs: int) -> float:
-        with mp.Pool(procs) as p:
-            t0 = perf_counter()
-            p.map(_bw_work, [4] * 64)  # 64 tasks x 256 MB moved
-            return perf_counter() - t0
-
-    a = min(run(n) for _ in range(2))
-    b = min(run(n4) for _ in range(2))
+    a = min(_fork_timed(_bw_work, n, 64, 4) for _ in range(2))  # 64 tasks x 256 MB moved
+    b = min(_fork_timed(_bw_work, n4, 64, 4) for _ in range(2))
     return round((a / b) / (n4 / n), 3)
 
 
