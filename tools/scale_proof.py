@@ -6,8 +6,10 @@ corpus scaled 10× past the bench's sf0.1 (= sf1: 50k docs), at two
 pinned parallelism widths (local[4] vs local[16], each leg its own
 subprocess bound via sched_setaffinity — the same cgroup stand-in as
 bench.py's headline legs), and reports the N→4N scaling efficiency at
-that scale. (A 100× leg was projected at ~70 min per 4-core repeat —
-past the leg timeout; 10× is the VERDICT item's ask.)
+that scale. The 100× leg (x100 = 500k docs) WAS run in round 5 and is
+the headline scale-proof result (BASELINE.md: 92.6 s @ 4c → 24.9 s @
+16c, N→4N 0.93); pass the copy counts on argv (e.g. ``10 100``) to
+reproduce.
 
 Scaling the fixture: each of the K copies of the sf0.1 documents table
 is passed through a DIFFERENT vowel-substitution (translate()), so
@@ -108,10 +110,10 @@ def main() -> None:
     spark.stop()
 
     results = {}
-    for copies, d in dirs.items():
+    for k, d in dirs.items():
         legs = {}
         for cores in (4, 16):
-            out = os.path.join(SCRATCH, f"leg_{copies}_{cores}.json")
+            out = os.path.join(SCRATCH, f"leg_{k}_{cores}.json")
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
                  "--leg", str(cores), d, out],
@@ -120,14 +122,14 @@ def main() -> None:
             with open(out) as f:
                 legs[cores] = json.load(f)
         eff = (legs[4]["seconds"] / legs[16]["seconds"]) / 4.0
-        results[f"x{copies}"] = {
-            "docs": 5000 * copies,
+        results[f"x{k}"] = {
+            "docs": 5000 * k,
             "local4_seconds": legs[4]["seconds"],
             "local16_seconds": legs[16]["seconds"],
             "rows_out": legs[16]["rows"],
             "scaling_efficiency_n_to_4n": round(eff, 3),
         }
-        print(json.dumps({f"x{copies}": results[f"x{copies}"]}))
+        print(json.dumps({f"x{k}": results[f"x{k}"]}))
     print(json.dumps({"scale_proof_dedup_minhash_lsh": results}))
 
 
