@@ -654,10 +654,27 @@ ORDER BY cosine DESC, a.vec_id LIMIT 10
 """)
 
 
+# embed_neardup is the deliberate brute-force crossJoin BASELINE for
+# the LSH variant — refuse to run it past oracle-fixture scale so a
+# future bench/config change can never launch an all-pairs join on a
+# real corpus (VERDICT r5 item 9). 256 MB of embedding parquet ≈ 10^6
+# vectors ≈ 5·10^11 pairs.
+_NEARDUP_BRUTE_MAX_BYTES = 256 * 1024 * 1024
+
+
 def _embed_neardup(spark, sf):
     """Brute-force near-dup pairs (exact oracle); the LSH-bucketed
     variant is embed_neardup_lsh (rows-only check)."""
+    from silkworm_spark.operators.dedup_corpus import _source_bytes
+
     emb = _t(spark, sf, "embeddings")
+    nb = _source_bytes(emb)
+    if nb is not None and nb > _NEARDUP_BRUTE_MAX_BYTES:
+        raise ValueError(
+            "embed_neardup is the brute-force (all-pairs) oracle baseline; "
+            f"refusing {nb} bytes of embeddings (> {_NEARDUP_BRUTE_MAX_BYTES}). "
+            "Use embed_neardup_lsh at scale."
+        )
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     cos = cosine_col(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>"))

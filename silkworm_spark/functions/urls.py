@@ -113,6 +113,45 @@ def canonicalize_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: canonicalize_url(u) if u is not None else None)
 
 
+# JVM twins of the _CANON_FAST / _HOST_FAST fast paths: the same
+# patterns as Java regexes, so bulk canonicalization of seed tables
+# never crosses the Python boundary for the (overwhelmingly common)
+# already-canonical absolute http(s) URL. Anything the pattern cannot
+# PROVE canonical falls through to the pandas-UDF path — identical
+# split-filter discipline as fetch._with_fetch_url.
+_CANON_FAST_SQL = r"^https?://[a-z0-9.\-]+(/[^#]*)?$"
+_NO_PATH_SQL = r"^https?://[a-z0-9.\-]+$"
+_HOST_EXTRACT_SQL = r"^https?://([a-z0-9.\-]+)"
+
+
+def with_canonical_url_host(df, url_col: str = "url"):
+    """``url_col`` canonicalized in place plus a ``host`` column.
+
+    Value-identical to ``canonicalize_udf`` + ``host_udf`` (pinned by
+    tests/test_operators_unit.py) but JVM-side for fast-pattern URLs:
+    a 2.4M-seed initialize() spent most of its wall in the two pandas
+    UDFs re-deriving strings that were already canonical (guide §4:
+    eliminate the Python boundary when a builtin expression exists).
+    Row order is NOT preserved (split-filter + union); every consumer
+    orders by explicit keys."""
+    u = F.col(url_col)
+    is_fast = u.rlike(_CANON_FAST_SQL)
+    fast = (
+        df.filter(is_fast)
+        .withColumn(
+            url_col,
+            F.when(u.rlike(_NO_PATH_SQL), F.concat(u, F.lit("/"))).otherwise(u),
+        )
+        .withColumn("host", F.regexp_extract(F.col(url_col), _HOST_EXTRACT_SQL, 1))
+    )
+    slow = (
+        df.filter(~F.coalesce(is_fast, F.lit(False)))
+        .withColumn(url_col, canonicalize_udf(url_col))
+        .withColumn("host", host_udf(url_col))
+    )
+    return fast.unionByName(slow)
+
+
 @pandas_udf(StringType())
 def host_udf(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: host_of(u) if u is not None else None)

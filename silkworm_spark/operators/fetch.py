@@ -209,12 +209,28 @@ def resolve_web(web: DataFrame, max_redirects: int = 10) -> DataFrame:
     return out
 
 
+def offline_fetch_missing(batch: DataFrame, resolved: DataFrame) -> DataFrame:
+    """Batch rows with no resolved row (dead links) — the keys-only
+    anti-join split out so one round can compute it ONCE and feed both
+    the parse source and the body-free metadata twin (round 5 ran this
+    2.6M-key shuffle-hash anti-join twice per round, once inside each
+    twin's plan). Returns _CARRY + ``_fetch``; usually empty. The
+    caller may cache it (the engine does, releasing after the round).
+    """
+    b = _with_fetch_url(batch)
+    return b.join(
+        resolved.select(F.col("url").alias("r_url")).hint("SHUFFLE_HASH"),
+        b["_fetch"] == F.col("r_url"), "left_anti"
+    )
+
+
 def offline_fetch_resolved(
     batch: DataFrame,
     resolved: DataFrame,
     n_batch: int | None = None,
     broadcast_max_rows: int = 2_000_000,
     include_body: bool = True,
+    missing: DataFrame | None = None,
 ) -> DataFrame:
     """Per-round fetch against the precomputed resolution table: one
     equi-join, then the retryable-status rule
@@ -272,10 +288,14 @@ def offline_fetch_resolved(
         F.col("r_error").alias("error"),
         null_hdrs,
     )
-    missing_rows = batch.join(
-        resolved.select(F.col("url").alias("r_url")).hint("SHUFFLE_HASH"),
-        batch["_fetch"] == F.col("r_url"), "left_anti"
-    ).select(
+    miss_src = (
+        missing if missing is not None
+        else batch.join(
+            resolved.select(F.col("url").alias("r_url")).hint("SHUFFLE_HASH"),
+            batch["_fetch"] == F.col("r_url"), "left_anti"
+        )
+    )
+    missing_rows = miss_src.select(
         *_CARRY,
         F.col("_fetch").alias("final_url"),
         F.lit(None).cast("int").alias("status"),

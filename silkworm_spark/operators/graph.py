@@ -35,17 +35,42 @@ def connected_components(
     a: str = "a",
     b: str = "b",
     max_iter: int = 25,
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, component) for every node appearing in ``edges``;
     ``component`` is the minimum node id of the node's connected
     component. Deterministic; raises if not converged in ``max_iter``
-    rounds (a dedup edge set converges in a handful)."""
-    und = (
-        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
-        .unionByName(edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
-        .distinct()
-        .cache()
-    )
+    rounds (a dedup edge set converges in a handful).
+
+    ONE Spark job per round: the changed-label count rides the round's
+    own materialization as an ``Observation`` metric instead of a
+    second join+count job (round 5 launched 2 jobs + an extra join per
+    round — guide §1.2, remove passes). Labels rows carry their own
+    previous label through the min-aggregation (``_old``; neighbor rows
+    contribute NULL, which min() ignores), so "changed" =
+    count(new comp < old comp) is computable inside the same pass.
+
+    ``scratch_dir``: materialize the undirected edge table there as
+    parquet instead of the executor block-manager cache — the form for
+    edge sets beyond cache scale. Default (None) keeps the cache: a
+    near-dup pair table is df-capped upstream (max_doc_freq bounds
+    per-doc pair fan-out), orders of magnitude smaller than the corpus.
+    """
+    from pyspark.sql import Observation
+
+    und = edges.select(F.col(a).alias("src"), F.col(b).alias("dst")).unionByName(
+        edges.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    ).distinct()
+    cached = None
+    if scratch_dir is not None:
+        import os
+
+        spill = os.path.join(scratch_dir, "cc_edges.parquet")
+        und.write.mode("overwrite").parquet(spill)
+        und = edges.sparkSession.read.parquet(spill)
+    else:
+        und = cached = und.cache()
+    comp_t = edges.schema[a].dataType
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
@@ -56,26 +81,32 @@ def connected_components(
         for _ in range(max_iter):
             nbr = und.join(
                 labels.withColumnRenamed("node", "src"), "src"
-            ).select(F.col("dst").alias("node"), "comp")
+            ).select(
+                F.col("dst").alias("node"), "comp",
+                F.lit(None).cast(comp_t).alias("_old"),
+            )
+            obs = Observation()
             new = (
-                labels.unionByName(nbr)
+                labels.withColumn("_old", F.col("comp"))
+                .unionByName(nbr)
                 .groupBy("node")
-                .agg(F.min("comp").alias("comp"))
+                .agg(F.min("comp").alias("comp"), F.min("_old").alias("_old"))
+                .observe(
+                    obs,
+                    F.sum((F.col("comp") < F.col("_old")).cast("long")).alias("chg"),
+                )
+                .select("node", "comp")
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                new.join(labels.withColumnRenamed("comp", "old"), "node")
-                .filter(F.col("comp") < F.col("old"))
-                .count()
-            )
             labels = new
-            if changed == 0:
+            if int(obs.get["chg"] or 0) == 0:
                 return labels.select(
                     F.col("node").alias("doc_id"), F.col("comp").alias("component")
                 )
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     finally:
-        und.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
 
 def pagerank_fixed_point(

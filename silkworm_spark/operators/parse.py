@@ -156,7 +156,18 @@ _HREF_RE = re.compile(r"""(?<![-\w])href\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.
 _SRC_RE = re.compile(r"""(?<![-\w])src\s*=\s*("[^"]*"|'[^']*'|[^\s>]+)""", re.I)
 
 
-def _attr_val(attrs: str, pat: re.Pattern) -> str | None:
+def _attr_val(attrs: str, pat: re.Pattern,
+              fast_prefix: str | None = None) -> str | None:
+    # fast path: the dominant single-attribute shape (exactly
+    # ` href="…"` / ` src="…"`, double-quoted, no inner quote) — the
+    # regex would produce the identical value; anything else falls
+    # through to it. ``fast_prefix`` must name the same attribute the
+    # pattern matches.
+    if (fast_prefix is not None and attrs.startswith(fast_prefix)
+            and attrs.endswith('"')):
+        v = attrs[len(fast_prefix):-1]
+        if '"' not in v:
+            return _html_mod.unescape(v) if "&" in v else v
     m = pat.search(attrs)
     if not m:
         return None
@@ -214,12 +225,17 @@ def scan_span_cols(
         if m is None:
             break
         pos = m.end()
-        (p_attrs, p_text, a_attrs, a_text,
-         end_tag, tag, attrs, selfclose) = m.groups()
-        if p_text is not None:  # complete <p>…</p> in one token
+        # branch on lastindex instead of unpacking all 8 groups per
+        # token: 2 = complete <p> (group 2 = body), 4 = complete <a>
+        # (3 = attrs, 4 = body), 5 = end tag, 8 = generic start tag
+        # (6 = name, 7 = attrs, 8 = self-close marker — group 8 always
+        # participates), None = comment/doctype/PI
+        li = m.lastindex
+        if li == 2:  # complete <p>…</p> in one token
             # generic equivalent: starttag flushes the pending mode
             # (or is ignored under skip), endtag flush emits — inside a
             # skip region the net effect is the single flush
+            p_text = m.group(2)
             if mode is not None:
                 flush()
             if skip_depth == 0:
@@ -231,27 +247,29 @@ def scan_span_cols(
                     texts.append(text)
                     refs.append(None)
             continue
-        if a_text is not None:  # complete <a …>…</a> in one token
+        if li == 4:  # complete <a …>…</a> in one token
             if mode is not None:
                 flush()
             if skip_depth == 0:
+                a_attrs, a_text = m.group(3), m.group(4)
                 if "&" in a_text:
                     a_text = _html_mod.unescape(a_text)
                 text = " ".join(a_text.split())
-                h = _attr_val(a_attrs, _HREF_RE) if a_attrs else None
+                h = _attr_val(a_attrs, _HREF_RE, ' href="') if a_attrs else None
                 kinds.append("link")
                 texts.append(text or None)
                 refs.append(url_join(base_url, h) if h else None)
             continue
-        if end_tag is not None:
-            t = end_tag.lower()
+        if li == 5:  # end tag
+            t = m.group(5).lower()
             if t in _SKIP_TAGS:
                 skip_depth = max(0, skip_depth - 1)
             elif t in ("p", "a"):
                 flush()
             continue
-        if tag is None:
+        if li is None:
             continue  # comment / doctype / PI
+        tag, attrs, selfclose = m.group(6), m.group(7), m.group(8)
         t = tag.lower()
         if t in _SKIP_TAGS:
             skip_depth += 1
@@ -269,16 +287,16 @@ def scan_span_cols(
         elif t == "a":
             flush()
             mode = "a"
-            href = _attr_val(attrs, _HREF_RE)
+            href = _attr_val(attrs, _HREF_RE, ' href="')
         elif t == "img":
-            src = _attr_val(attrs, _SRC_RE)
+            src = _attr_val(attrs, _SRC_RE, ' src="')
             if src:
                 flush()
                 kinds.append("image")
                 texts.append(None)
                 refs.append(url_join(base_url, src))
         elif t == "video":
-            src = _attr_val(attrs, _SRC_RE)
+            src = _attr_val(attrs, _SRC_RE, ' src="')
             if src:
                 flush()
                 kinds.append("video")
@@ -361,8 +379,11 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
     Span/children arrays of non-item rows are empty lists (the engine
     filters ``out_kind == 'item'`` / ``size(children) > 0``)."""
 
-    from silkworm_spark.functions.urls import canonicalize_url, host_of
+    from silkworm_spark.functions.urls import (
+        _CANON_FAST, canonicalize_url, host_of,
+    )
 
+    _canon_match = _CANON_FAST.match
     have = set(fetched.columns)
     req_cols = [c for c in
                 ("method", "headers", "params", "meta", "data", "timeout",
@@ -452,9 +473,20 @@ def run_parse_stage(fetched: DataFrame) -> DataFrame:
                                 if kinds[j] == "link":
                                     r = refs[j]
                                     if r:
-                                        cu = canonicalize_url(r)
+                                        # one regex match yields BOTH
+                                        # the canonical form and the
+                                        # host for fast-path URLs
+                                        # (canonicalize_url + host_of
+                                        # would each re-match)
+                                        cm = _canon_match(r)
+                                        if cm:
+                                            cu = r if cm.group(3) else r + "/"
+                                            ch = cm.group(2)
+                                        else:
+                                            cu = canonicalize_url(r)
+                                            ch = host_of(cu)
                                         cc_url.append(cu)
-                                        cc_host.append(host_of(cu))
+                                        cc_host.append(ch)
                                         cc_idx.append(n_children)
                                         n_children += 1
                             if n_children:

@@ -229,6 +229,7 @@ class CrawlCheckpoint:
         extras: dict[str, Any] | None = None,
         driver_appends: dict[str, list[tuple]] | None = None,
         async_sinks: tuple = (),
+        pointer_appends: dict[str, str] | None = None,
     ) -> "PendingCommit | None":
         """Write this round's data, then atomically publish the manifest.
 
@@ -258,6 +259,15 @@ class CrawlCheckpoint:
         sequential latency; the updated bits land in this commit.
         ``extras`` are engine scalars (seq_floor, uniform_priority)
         published atomically with everything else.
+
+        ``pointer_appends`` maps table name → an ALREADY-WRITTEN
+        relative path to append to that table's manifest entry without
+        any write job — the zero-copy commit for data a prior stage of
+        the same round materialized in its final form (the engine's
+        spilled parse output IS the round's documents append; round 5
+        parquet-encoded the identical span table twice). Atomicity is
+        unchanged: the path only becomes reachable when the manifest
+        publishes.
         """
         import concurrent.futures as cf
 
@@ -335,6 +345,11 @@ class CrawlCheckpoint:
             n: df for n, df in appends.items()
             if n not in small and n not in deferred
         }
+
+        # pointer appends: data already on disk in final form — just
+        # record the path (reachable only once the manifest publishes)
+        for name, rel in (pointer_appends or {}).items():
+            new_manifest["tables"].setdefault(name, []).append(rel)
 
         # driver-local tables (round metrics): straight pyarrow writes,
         # zero Spark jobs

@@ -56,17 +56,20 @@ that cost was the reason measured N→4N efficiency stalled at 0.565.
 from __future__ import annotations
 
 import os
-import shutil
 from dataclasses import dataclass, field
 from time import perf_counter
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from silkworm_spark.functions.urls import canonicalize_udf, host_udf, url_hash_col
+from silkworm_spark.functions.urls import (
+    url_hash_col,
+    with_canonical_url_host,
+)
 from silkworm_spark.operators.dedup import dedup_candidates
 from silkworm_spark.operators.fetch import (
     live_fetch,
+    offline_fetch_missing,
     offline_fetch_resolved,
     resolve_web,
 )
@@ -80,8 +83,21 @@ from silkworm_spark.schemas import (
     FRONTIER_COLS as _FRONTIER_COLS,
     FRONTIER_SCHEMA,
     HOST_STATE_SCHEMA,
+    PARSE_OUT_SCHEMA,
     REQUEST_EXTRA_COLS,
     ROBOTS_SCHEMA,
+)
+
+from pyspark.sql import types as _T
+
+# read schema of the round's partitioned parse spill: the parse columns
+# plus the round literal; out_kind (in PARSE_OUT_SCHEMA) is filled from
+# the partition directories. Explicit so an all-empty round (no data
+# files, just _SUCCESS) still reads back as an empty frame instead of
+# failing schema inference.
+_PARSE_SPILL_SCHEMA = _T.StructType(
+    PARSE_OUT_SCHEMA.fields
+    + [_T.StructField("round", _T.IntegerType())]
 )
 
 
@@ -128,8 +144,18 @@ class CrawlConfig:
     horizon_factor: int = 4  # dequeue scans ~factor*budget seqs (see scheduler)
     fetch_broadcast_max_rows: int = 2_000_000  # gate on the batch-side broadcast
     # seen-set size up to which dedup uses a map-side broadcast
-    # anti-join; beyond it, the sharded-bloom prefilter path
-    seen_broadcast_max_rows: int = 4_000_000
+    # anti-join; beyond it, the sharded-bloom prefilter path.
+    # Env-overridable so deployments (and A/B measurements) can move
+    # the crossover without code edits: the broadcast build is a
+    # DRIVER-side collect+hash of the whole seen table per round — a
+    # fixed, width-independent cost that erodes N→4N scaling as the
+    # seen set grows, while the bloom probe is a keyed shuffle that
+    # scales with the cluster.
+    seen_broadcast_max_rows: int = field(
+        default_factory=lambda: int(
+            os.environ.get("SILKWORM_SEEN_BCAST_MAX", 4_000_000)
+        )
+    )
     # request middlewares (reference middlewares.py:30-96,164-263):
     # UA rotation + proxy pool feed the live fetch; the per-request
     # delay paces enqueued children on the virtual clock
@@ -199,10 +225,11 @@ class CrawlEngine:
                 "run() or point initialize() at a fresh directory"
             )
         bloom = self._load_bloom()
-        s = (
-            seeds.withColumn("url", canonicalize_udf("url"))
-            .withColumn("url_hash", url_hash_col("url"))
-            .withColumn("host", host_udf("url"))
+        # JVM fast-path canonicalization (guide §4): a web-scale seed
+        # table is overwhelmingly already-canonical URLs; the pandas-UDF
+        # pair cost ~60 s of the 4-core leg's initialize at 2.4M seeds
+        s = with_canonical_url_host(seeds).withColumn(
+            "url_hash", url_hash_col("url")
         )
         # seeds pass through _enqueue too: first occurrence wins (engine.py:99-106)
         s = s.withColumn("parent_seq", F.lit(-1).cast("long")).withColumn(
@@ -319,6 +346,18 @@ class CrawlEngine:
         n_frontier: int | None = None  # tracked incrementally after round 1
         pending = None  # write-behind commit of the previous round
         held: list = []  # caches the pending writes still read
+        # local-checkpoint RDD keep-alive (the round-5 fatal class): a
+        # patch's blocks are lineage-FREE, but plans built from the
+        # patched frontier (scored/fresh caches, the NEXT patch before
+        # it materializes) can still need them for recomputation until
+        # two join points later. Dropping the Dataset reference at the
+        # next join point let the ContextCleaner remove the blocks
+        # while such a recompute could still run → "Block rdd_N_M does
+        # not exist" → job abort (local mode has maxTaskFailures=1) →
+        # the leg crash BENCH_r05's driver re-run recorded. Keep the
+        # last two rounds' patch Datasets referenced; entries age out
+        # only when nothing can reach their blocks anymore.
+        pf_keep: list = []
         # (new_rows, consumed) of a deferred frontier write: until the
         # pending commit finalizes, the manifest's frontier tables lag
         # one round, so the next dequeue patches its merge-on-read
@@ -346,7 +385,12 @@ class CrawlEngine:
                 # in-memory DataFrames. The background parquet writes of
                 # the SAME data overlap this dequeue + fetch + parse and
                 # are joined before dedup (join_pending below).
-                p_new, p_consumed = pending_frontier
+                p_new, p_consumed, _p_n_consumed = pending_frontier
+                # measured note (r6): broadcasting p_consumed here was
+                # tried and REVERTED — the driver-side collect+hash of
+                # a round's seqs cost more at both widths than the
+                # keyed anti-join shuffle it replaced (the patch sides
+                # are O(budget), not O(frontier))
                 frontier = frontier.join(
                     p_consumed, "seq", "left_anti"
                 ).unionByName(p_new)
@@ -397,6 +441,18 @@ class CrawlEngine:
             )
             batch, denied = dq.batch, dq.denied
             n_batch, n_denied = dq.n_batch, dq.n_denied
+            batch_cached = None
+            if dq._scored is None and n_batch:
+                # FIFO fast path: dq.batch is a lazy filter over the
+                # (patched, merge-on-read) frontier — every downstream
+                # consumer (two fetch-join broadcasts, the missing
+                # anti-join, fetch_log, consumed, host_state) would
+                # re-scan the whole frontier. One body-free cache
+                # (~O(budget) narrow rows) collapses those to cache
+                # reads; r5's "commit" tick was ~47 s@4c of exactly
+                # these rescans. The general path already caches
+                # `scored`, so its batch is cheap by construction.
+                batch = batch_cached = batch.cache()
             tick("dequeue")
 
             if n_batch == 0 and n_denied == 0:
@@ -422,6 +478,7 @@ class CrawlEngine:
             nparts = max(1, min(max_parts, -(-n_batch // cfg.min_rows_per_partition)))
 
             raw_fetched = None  # live-mode cache handle
+            missing = None  # offline-mode shared dead-link cache handle
             if self.fetch_mode == "offline":
                 # NO body cache: page bodies stream through the parse
                 # python stage exactly once (scan → broadcast join →
@@ -429,14 +486,19 @@ class CrawlEngine:
                 # against a column-PRUNED resolved scan (body_len, no
                 # binary) — re-running a slim join beats building and
                 # GC-ing a multi-100 MB in-memory cache every round
+                # the dead-link anti-join is computed ONCE and shared
+                # by both twins (it is usually empty; r5 paid the
+                # 2.6M-key shuffle-hash join twice per round)
+                missing = offline_fetch_missing(batch, resolved).cache()
                 parse_src = offline_fetch_resolved(
                     batch, resolved, n_batch=n_batch,
                     broadcast_max_rows=cfg.fetch_broadcast_max_rows,
+                    missing=missing,
                 )
                 meta_src = offline_fetch_resolved(
                     batch, resolved, n_batch=n_batch,
                     broadcast_max_rows=cfg.fetch_broadcast_max_rows,
-                    include_body=False,
+                    include_body=False, missing=missing,
                 )
             else:
                 # live fetch: request middlewares (UA/proxy columns,
@@ -521,8 +583,17 @@ class CrawlEngine:
             parse_out = run_parse_stage(parse_in)
             parse_scratch = None
             if spill_parse:
+                # the spill lives INSIDE the round dir, partitioned by
+                # out_kind and carrying the round column: the item
+                # partition IS this round's documents append in final
+                # form, so the commit records a POINTER to it instead
+                # of parquet-encoding the identical span table a second
+                # time (r5 wrote ~the whole parse output twice per
+                # round — once here, once as the documents sink; guide
+                # §1.2: don't compute things you throw away). Inert
+                # until the manifest publishes, like every round file.
                 parse_scratch = os.path.join(
-                    self.ckpt.root, f"_parse_scratch_{round_no}"
+                    self.ckpt.root, f"round_{round_no:05d}", "parse"
                 )
             else:
                 parse_out = parse_out.cache()
@@ -573,7 +644,8 @@ class CrawlEngine:
 
                     _obs = Observation()
                     (
-                        parse_out.observe(
+                        parse_out.withColumn("round", F.lit(round_no))
+                        .observe(
                             _obs,
                             F.sum((F.col("out_kind") == "item").cast("long"))
                             .alias("n_item"),
@@ -581,7 +653,8 @@ class CrawlEngine:
                             .alias("n_error"),
                             F.sum(F.size("items")).alias("n_jitems"),
                         )
-                        .write.mode("overwrite").parquet(parse_scratch)
+                        .write.mode("overwrite").partitionBy("out_kind")
+                        .parquet(parse_scratch)
                     )
                     _m = _obs.get
                     parse_counts = {
@@ -592,7 +665,9 @@ class CrawlEngine:
                     # downstream consumers re-read column-pruned: dedup's
                     # child explode touches only `children`, the commit
                     # appends touch spans/items — never the whole round
-                    parse_out = self.spark.read.parquet(parse_scratch)
+                    parse_out = self.spark.read.schema(
+                        _PARSE_SPILL_SCHEMA
+                    ).parquet(parse_scratch)
                 else:
                     # J2: materializes the parse cache (the python stage
                     # pipelines with the fetch join) and yields the
@@ -616,10 +691,23 @@ class CrawlEngine:
             # item/request routing is pure projection — parse carried the
             # parent metadata and canonical child URLs through the UDF;
             # the per-link explode happens here, JVM-side
-            documents = parse_out.filter(F.col("out_kind") == "item").select(
-                "doc_id", "spans", "status", "depth", "seq",
-                F.lit(round_no).alias("round"),
-            )
+            doc_pointer = None
+            if spill_parse:
+                # zero-copy documents append: the spill's item
+                # partition already holds (doc_id, spans, status,
+                # depth, seq, round) — extra columns (url, children,
+                # callback, …) are never decoded by the column-pruned
+                # documents reader
+                documents = None
+                if parse_counts.get("item", 0):
+                    doc_pointer = os.path.join(
+                        f"round_{round_no:05d}", "parse", "out_kind=item"
+                    )
+            else:
+                documents = parse_out.filter(F.col("out_kind") == "item").select(
+                    "doc_id", "spans", "status", "depth", "seq",
+                    F.lit(round_no).alias("round"),
+                )
             # free-form JSON items → the pipelines' input stream
             # (reference engine.py:200-268 → pipelines.py connectors)
             json_items = (
@@ -743,20 +831,41 @@ class CrawlEngine:
             )
 
             seq_floor = dq.floor_next
+            new_host_state = dq.new_host_state
+            if batch_cached is not None:
+                # FIFO fast path: dq's host_state recipe aggregates its
+                # own lazy batch plan (a full-frontier rescan at write
+                # time — most of r5's anti-scaling "commit" tick);
+                # rebuild the IDENTICAL aggregate over the cached batch
+                # (dequeue_fifo: taken counts per host, next_free
+                # floored at vtime, denied is empty on this path)
+                _taken = batch.groupBy("host").agg(F.count("*").alias("taken"))
+                _prev = host_state.select("host", "fetched", "next_free")
+                new_host_state = _prev.join(_taken, on="host", how="full").select(
+                    "host",
+                    (F.coalesce(F.col("fetched"), F.lit(0))
+                     + F.coalesce(F.col("taken"), F.lit(0))).alias("fetched"),
+                    F.coalesce(F.col("next_free"), F.lit(float(vtime))).alias("next_free"),
+                )
+            appends = {
+                "seen": seen_new,
+                "items": json_items,
+                "fetch_log": fetch_log,
+                "frontier_delta": new_rows,
+                "consumed": consumed,
+            }
+            if documents is not None:
+                appends["documents"] = documents
             pending = self.ckpt.commit(
                 round_no=round_no,
                 vtime=vtime + cfg.round_seconds,
                 seq_next=seq_next,
-                appends={
-                    "seen": seen_new,
-                    "documents": documents,
-                    "items": json_items,
-                    "fetch_log": fetch_log,
-                    "frontier_delta": new_rows,
-                    "consumed": consumed,
-                },
+                appends=appends,
+                pointer_appends=(
+                    {"documents": doc_pointer} if doc_pointer else None
+                ),
                 driver_appends={"metrics": metric_tuples},
-                snapshots={"host_state": dq.new_host_state},
+                snapshots={"host_state": new_host_state},
                 bloom=bloom if cfg.use_bloom else None,
                 bloom_update=seen_new if cfg.use_bloom else None,
                 known_counts={
@@ -799,7 +908,14 @@ class CrawlEngine:
                 pending_frontier = (
                     new_rows.localCheckpoint(eager=False),
                     consumed.localCheckpoint(eager=False),
+                    n_batch + n_denied,
                 )
+                # keep the last two patches' RDDs referenced (see
+                # pf_keep above) so the cleaner cannot drop their
+                # lineage-free blocks while a recompute can still
+                # reach them
+                pf_keep.append(pending_frontier)
+                del pf_keep[:-2]
             tick("commit")
             vtime += cfg.round_seconds
 
@@ -822,16 +938,13 @@ class CrawlEngine:
                 n_seen += n_new - n_retries
 
             releases = [
-                df.unpersist for df in (raw_fetched, fetched, parse_out, fresh)
+                df.unpersist
+                for df in (raw_fetched, fetched, parse_out, fresh,
+                           batch_cached, missing)
                 if df is not None
             ]
-            if parse_scratch is not None:
-                # the write-behind commit still reads documents/items off
-                # the scratch parquet — deletion rides the same deferred
-                # release path as the cache unpersists
-                releases.append(
-                    lambda p=parse_scratch: shutil.rmtree(p, ignore_errors=True)
-                )
+            # the spill is NOT deleted: it lives in the round dir and
+            # its item partition is the documents append (doc_pointer)
             if getattr(deduped, "_dedup_cache", None) is not None:
                 releases.append(deduped._dedup_cache.unpersist)
             releases.append(dq.release)
